@@ -1,0 +1,17 @@
+from deduplicator_spark.functions.fingerprints import (
+    FINGERPRINT_STRUCT,
+    make_fingerprint_udf,
+    shingle_set_py,
+    minhash_py,
+)
+from deduplicator_spark.functions.text import normalize_text, token_count, char_ngrams_hashed
+
+__all__ = [
+    "FINGERPRINT_STRUCT",
+    "make_fingerprint_udf",
+    "shingle_set_py",
+    "minhash_py",
+    "normalize_text",
+    "token_count",
+    "char_ngrams_hashed",
+]

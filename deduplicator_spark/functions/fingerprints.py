@@ -1,0 +1,199 @@
+"""Vectorized fingerprint functions: token shingles -> MinHash + SimHash.
+
+This is the engine's analog of the reference's ``getProcHash``
+(dupedb.py:68-101), transposed image->text per the north rule:
+
+    dhash hex string        ->  SimHash (64-bit, gradient-sign analog)
+    hashsize knob           ->  (shingle_k, num_perm, bands, rows)
+    md5-of-bytes fallback   ->  F.md5(text) exact stage (JVM built-in)
+
+Everything runs as ONE pandas UDF over Arrow batches; inside the batch
+all hashing is numpy (BASELINE.json input_hint: vectorized pandas/Arrow
+UDFs, no per-row Python in the hot path):
+
+  1. tokens of all docs in the batch are flattened into one array and
+     hashed once with ``pd.util.hash_array`` (C siphash, fixed key —
+     deterministic across processes),
+  2. shingle hashes are a sliding-window polynomial combine of token
+     hashes (no shingle strings are ever materialized),
+  3. MinHash = segment-minimum over (a_i * h + b_i) mod 2^64 for
+     ``num_perm`` multiply-shift permutations, computed chunk-wise as
+     one matrix op per batch,
+  4. SimHash = sign of per-bit +/-1 sums (unpackbits/packbits).
+
+Docs with fewer than ``shingle_k`` tokens get NULL fingerprints — the
+analog of the reference's zero-hash guard (dedupc.py:176-178): they are
+excluded from near-dup matching but still exact-dedupable via md5.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from deduplicator_spark.config import DedupConfig
+
+_U64 = np.uint64
+_SHINGLE_BASE = _U64(0x100000001B3)  # FNV-ish odd base for positional combine
+
+FINGERPRINT_STRUCT = T.StructType(
+    [
+        T.StructField("minhash", T.ArrayType(T.LongType()), True),
+        T.StructField("simhash", T.LongType(), True),
+        T.StructField("n_shingles", T.IntegerType(), False),
+        T.StructField("n_tokens", T.IntegerType(), False),
+        T.StructField("shingles", T.ArrayType(T.LongType()), True),
+    ]
+)
+
+
+def _perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.Generator(np.random.PCG64(seed))
+    a = rng.integers(1, 1 << 63, size=num_perm, dtype=np.uint64) * _U64(2) + _U64(1)  # odd
+    b = rng.integers(0, 1 << 63, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = (x + _U64(0x9E3779B97F4A7C15)).astype(_U64)
+    x = (x ^ (x >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> _U64(27))) * _U64(0x94D049BB133111EB)
+    return x ^ (x >> _U64(31))
+
+
+def _batch_shingle_hashes(texts: pd.Series, k: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Hash all k-token shingles of a batch of texts at once.
+
+    Returns (shingle_hashes: uint64[S_total], shingle_doc: int64[S_total]
+    mapping each shingle to its doc index, n_tokens: int64[D]).
+    """
+    token_lists = texts.fillna("").str.lower().str.split()
+    n_tokens = token_lists.str.len().to_numpy(dtype=np.int64)
+    D = len(texts)
+    flat = [t for toks in token_lists for t in toks]
+    if not flat:
+        return np.empty(0, _U64), np.empty(0, np.int64), n_tokens
+    tok_hash = pd.util.hash_array(np.asarray(flat, dtype=object))  # uint64, deterministic
+    N = len(tok_hash)
+    if N < k:
+        return np.empty(0, _U64), np.empty(0, np.int64), n_tokens
+
+    # polynomial combine over sliding windows (uint64 wraparound arithmetic)
+    win = np.lib.stride_tricks.sliding_window_view(tok_hash, k)  # (N-k+1, k)
+    weights = _SHINGLE_BASE ** np.arange(k, dtype=_U64)
+    combined = _splitmix64((win * weights).sum(axis=1, dtype=_U64))
+
+    # keep only windows fully inside one doc
+    doc_start = np.concatenate(([0], np.cumsum(n_tokens)))[:-1]
+    doc_end = doc_start + n_tokens - 1
+    starts = np.arange(N - k + 1)
+    doc_of = np.searchsorted(doc_start, starts, side="right") - 1
+    valid = (starts + k - 1) <= doc_end[doc_of]
+    return combined[valid], doc_of[valid], n_tokens
+
+
+def _segment_min(vals: np.ndarray, seg_ids: np.ndarray, n_segs: int, a: np.ndarray, b: np.ndarray, chunk: int = 32) -> np.ndarray:
+    """MinHash signatures: per-segment minimum of (a*h+b) for each perm.
+
+    vals: uint64[S] shingle hashes, seg_ids: sorted int64[S] doc index.
+    Returns uint64[n_segs, num_perm] with MAX for empty segments.
+    """
+    num_perm = len(a)
+    out = np.full((n_segs, num_perm), np.iinfo(np.uint64).max, dtype=_U64)
+    if len(vals) == 0:
+        return out
+    present, first_idx = np.unique(seg_ids, return_index=True)
+    for c0 in range(0, num_perm, chunk):
+        ac, bc = a[c0 : c0 + chunk], b[c0 : c0 + chunk]
+        P = vals[:, None] * ac[None, :] + bc[None, :]  # uint64 wrap
+        out[present, c0 : c0 + chunk] = np.minimum.reduceat(P, first_idx, axis=0)
+    return out
+
+
+def _segment_simhash(vals: np.ndarray, seg_ids: np.ndarray, n_segs: int) -> np.ndarray:
+    """64-bit SimHash per segment: sign of per-bit +/-1 sums."""
+    out = np.zeros(n_segs, dtype=_U64)
+    if len(vals) == 0:
+        return out
+    bits = np.unpackbits(vals[:, None].view(np.uint8), axis=1).astype(np.int32)  # (S, 64)
+    present, first_idx = np.unique(seg_ids, return_index=True)
+    sums = np.add.reduceat(bits * 2 - 1, first_idx, axis=0)  # (P, 64)
+    packed = np.packbits((sums > 0).astype(np.uint8), axis=1)  # (P, 8) bytes
+    out[present] = packed.view(_U64).ravel()
+    return out
+
+
+def make_fingerprint_udf(cfg: DedupConfig) -> Callable:
+    """Returns a pandas UDF: text -> struct(minhash, simhash, n_shingles,
+    n_tokens, shingles)."""
+    k = cfg.shingle_k
+    a, b = _perm_params(cfg.num_perm, cfg.seed)
+
+    @pandas_udf(FINGERPRINT_STRUCT)
+    def fingerprint(texts: pd.Series) -> pd.DataFrame:
+        D = len(texts)
+        sh, seg, n_tokens = _batch_shingle_hashes(texts, k)
+        sig = _segment_min(sh, seg, D, a, b)
+        sim = _segment_simhash(sh, seg, D)
+        counts = np.bincount(seg, minlength=D) if len(seg) else np.zeros(D, dtype=np.int64)
+
+        # distinct sorted shingle hashes per doc (for exact-Jaccard verify)
+        order = np.argsort(seg, kind="stable")
+        sh_sorted, seg_sorted = sh[order], seg[order]
+        bounds = np.searchsorted(seg_sorted, np.arange(D + 1))
+        sig_i64 = sig.view(np.int64)
+        sim_i64 = sim.view(np.int64)
+
+        minhash_col, shingles_col, nsh_col = [], [], np.zeros(D, dtype=np.int64)
+        for d in range(D):
+            seg_vals = sh_sorted[bounds[d] : bounds[d + 1]]
+            if len(seg_vals) == 0:
+                minhash_col.append(None)
+                shingles_col.append(None)
+            else:
+                uniq = np.unique(seg_vals)
+                nsh_col[d] = len(uniq)
+                minhash_col.append(sig_i64[d])
+                shingles_col.append(uniq.view(np.int64))
+        return pd.DataFrame(
+            {
+                "minhash": minhash_col,
+                "simhash": pd.array(
+                    [int(sim_i64[d]) if counts[d] > 0 else None for d in range(D)],
+                    dtype="Int64",
+                ),
+                "n_shingles": nsh_col.astype(np.int32),
+                "n_tokens": n_tokens.astype(np.int32),
+                "shingles": shingles_col,
+            }
+        )
+
+    return fingerprint
+
+
+# ---------------------------------------------------------------------------
+# Pure-python/numpy reference implementations (used by tests as the oracle
+# and by the driver-side brute-force recall check; same math, no Spark).
+# ---------------------------------------------------------------------------
+
+def shingle_set_py(text: str, k: int) -> set[int]:
+    toks = (text or "").lower().split()
+    if len(toks) < k:
+        return set()
+    th = pd.util.hash_array(np.asarray(toks, dtype=object))
+    win = np.lib.stride_tricks.sliding_window_view(th, k)
+    weights = _SHINGLE_BASE ** np.arange(k, dtype=_U64)
+    return set(_splitmix64((win * weights).sum(axis=1, dtype=_U64)).tolist())
+
+
+def minhash_py(text: str, cfg: DedupConfig) -> np.ndarray | None:
+    s = shingle_set_py(text, cfg.shingle_k)
+    if not s:
+        return None
+    a, b = _perm_params(cfg.num_perm, cfg.seed)
+    h = np.fromiter(s, dtype=_U64, count=len(s))
+    return (h[:, None] * a[None, :] + b[None, :]).min(axis=0).view(np.int64)
