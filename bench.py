@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line with per-query seconds.
+
+Headline: end-to-end MinHash+LSH near-dup dedup throughput (docs/sec)
+over a deterministic synthetic pages table sized to the scale factor
+(sf0.1 -> 50k docs), read from parquet like a real ingest.  Also times
+the exact-dedup pass, the documents-table LSH chain, ANN pair search,
+and the full pipeline with ranking.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     BENCH_N_DOCS (override synthetic corpus size).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, ROOT)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from deduplicator_spark.config import DedupConfig  # noqa: E402
+from deduplicator_spark.operators.ann import hyperplane_lsh_pairs  # noqa: E402
+from deduplicator_spark.operators.components import clusters_from_pairs  # noqa: E402
+from deduplicator_spark.operators.exact import exact_clusters  # noqa: E402
+from deduplicator_spark.operators.lsh import band_explode, candidate_pairs, verify_pairs  # noqa: E402
+from deduplicator_spark.functions.fingerprints import make_fingerprint_udf  # noqa: E402
+from deduplicator_spark.plans.pipeline import DedupPipeline  # noqa: E402
+from deduplicator_spark.session import build_session  # noqa: E402
+from deduplicator_spark.sources.loaders import load_table  # noqa: E402
+from deduplicator_spark.sources.pages import synth_pages  # noqa: E402
+
+CFG = DedupConfig()
+
+
+def _sf_of(sf_dir: str) -> float:
+    tail = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(tail.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def ensure_corpus(spark, n: int) -> str:
+    """Deterministic synthetic pages parquet (generated once, reused)."""
+    path = os.path.join(os.environ.get("BENCH_TMP", "/tmp"), f"bench_pages_n{n}_s{CFG.seed}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        synth_pages(spark, n).write.mode("overwrite").parquet(path)
+    return path
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = _sf_of(sf_dir)
+    n_docs = int(os.environ.get("BENCH_N_DOCS", str(max(2000, int(500_000 * sf)))))
+
+    spark = build_session(
+        app_name="dedup-bench", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    corpus = ensure_corpus(spark, n_docs)
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.monotonic()
+        out = fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+        return out
+
+    # warm up the JVM + Arrow path on a small slice
+    warm = spark.read.parquet(corpus).limit(500)
+    fp_udf = make_fingerprint_udf(CFG)
+    warm.select(fp_udf("text").alias("f")).select(F.sum("f.n_shingles")).collect()
+
+    # q1: headline — end-to-end near-dup dedup (fingerprint -> LSH ->
+    # verify -> connected components) on the synthetic corpus
+    def q1():
+        pages = spark.read.parquet(corpus)
+        fp = pages.select("url", fp_udf(F.col("text")).alias("f")).select("url", "f.*")
+        fp = fp.localCheckpoint()  # fingerprint once; measured inside q1
+        banded = band_explode(fp, CFG)
+        pairs, _ = candidate_pairs(banded, CFG)
+        verified = verify_pairs(pairs, fp, CFG)
+        clusters = clusters_from_pairs(verified, min_size=2)
+        return clusters.count()
+
+    n_clustered = timed("q1_minhash_lsh_dedup", q1)
+
+    # q2: exact dedup (md5 groupBy) over the same corpus
+    def q2():
+        return exact_clusters(spark.read.parquet(corpus)).count()
+
+    timed("q2_exact_dedup", q2)
+
+    # q3: documents-table LSH chain (the oracle-checked flagship)
+    def q3():
+        import __spark_entry__ as e
+
+        return e.q_minhash_near_dup_pairs(spark, sf_dir).count()
+
+    timed("q3_documents_near_dup", q3)
+
+    # q4: ANN hyperplane-LSH pair search over embeddings
+    def q4():
+        emb = load_table(spark, sf_dir, "embeddings")
+        return hyperplane_lsh_pairs(emb, dim=64, min_cosine=0.5).count()
+
+    timed("q4_ann_lsh", q4)
+
+    # q5: full pipeline incl. ranking/actions (no checkpoint dir)
+    def q5():
+        pages = spark.read.parquet(corpus)
+        out = DedupPipeline(spark, CFG, work_dir=None, run_id="bench").run(pages)
+        return out["actions"].count()
+
+    timed("q5_full_pipeline", q5)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_near_dup_dedup",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_docs": n_docs,
+                "docs_per_sec_q1": round(n_docs / timings["q1_minhash_lsh_dedup"], 1),
+                "clustered_rows_q1": n_clustered,
+                "cpus": cpus,
+                "config": CFG.config_id,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

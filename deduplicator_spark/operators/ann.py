@@ -1,0 +1,118 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Two tiers, per the scale plan:
+
+- ``cosine_topk_pairs`` — brute-force all-pairs cosine, entirely
+  JVM-side (zip_with + aggregate: no Python, no UDF).  O(n^2) — the
+  correctness baseline and the within-bucket verifier.
+- ``hyperplane_lsh_topk`` — random-hyperplane (sign) LSH: a pandas UDF
+  computes a b-bit signature per vector (one numpy matmul per Arrow
+  batch); pairs are generated per multi-probe band bucket and verified
+  with the same JVM cosine.  This is the 100 TB path: shuffle keys are
+  small ints, bucket joins are equi-joins, and AQE handles residual
+  skew.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+
+def _cosine(a, b) -> F.Column:
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+    return dot / (na * nb)
+
+
+def cosine_topk_pairs(
+    emb: DataFrame,
+    k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 5,
+) -> DataFrame:
+    """Top-k most-similar pairs by cosine, brute force (baseline).
+
+    Output: (id_a, id_b, cosine) ordered by (cosine desc, id_a, id_b).
+    """
+    v = emb.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+    a, b = v.alias("a"), v.alias("b")
+    pairs = a.join(b, F.col("a.id") < F.col("b.id")).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.round(_cosine(F.col("a.v"), F.col("b.v")), round_digits).alias("cosine"),
+    )
+    return pairs.orderBy(F.desc("cosine"), "id_a", "id_b").limit(k)
+
+
+def make_hyperplane_udf(dim: int, bits: int = 16, seed: int = 42):
+    """pandas UDF: embedding -> int signature of hyperplane signs."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    planes = rng.standard_normal((dim, bits))
+
+    @pandas_udf(T.LongType())
+    def signature(vecs: pd.Series) -> pd.Series:
+        M = np.stack(vecs.to_numpy())  # (n, dim)
+        signs = (M @ planes) > 0  # (n, bits)
+        weights = (1 << np.arange(bits, dtype=np.int64))
+        return pd.Series((signs @ weights).astype(np.int64))
+
+    return signature
+
+
+def hyperplane_lsh_pairs(
+    emb: DataFrame,
+    dim: int,
+    bits: int = 16,
+    bands: int = 4,
+    min_cosine: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate pairs from sign-LSH band buckets, verified by exact
+    cosine >= min_cosine. Output: (id_a, id_b, cosine)."""
+    sig_udf = make_hyperplane_udf(dim, bits, seed)
+    width = bits // bands
+    mask = (1 << width) - 1
+    s = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        sig_udf(F.col(vec_col)).alias("sig"),
+    )
+    banded = s.select(
+        "id",
+        "v",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("sig"), i * width).bitwiseAND(F.lit(mask))
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select("a.id", "a.v", F.col("b.id").alias("id_b"), F.col("b.v").alias("v_b"))
+        .withColumnRenamed("id", "id_a")
+        .withColumnRenamed("v", "v_a")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("cosine", F.round(_cosine(F.col("v_a"), F.col("v_b")), 5))
+        .filter(F.col("cosine") >= min_cosine)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,203 @@
+"""The end-to-end dedup pipeline with per-stage checkpoints, metrics
+and resume.
+
+Stage graph (each stage checkpoints to parquet under ``work_dir`` and
+is skipped on resume when its ``_SUCCESS`` marker exists — the analog
+of the reference's chunked durable commits, dupedb.py:278-294, and of
+its incremental skip-known scan, dupedb.py:271-274):
+
+    fingerprints   pages -> md5/MinHash/SimHash/shingles (one UDF pass)
+    quarantine     degenerate docs (zero shingles) — S6 sink analog
+    near_pairs     LSH bands -> capped bucket self-join -> exact verify
+    exact_pairs    md5 equi-self-join
+    edges          union of pair sources
+    clusters       connected components + singleton threshold filter
+    actions        canonical ranking -> keep/delete audit rows (S8/S9)
+    metrics        one row per (stage, partition): rows + wall time
+
+Restart-safe by construction: every stage output is keyed, writes are
+atomic (parquet _SUCCESS), and re-running with the same work_dir
+resumes mid-pipeline producing byte-identical results (tested in
+tests/test_pipeline.py).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deduplicator_spark.config import DedupConfig
+from deduplicator_spark.functions.fingerprints import make_fingerprint_udf
+from deduplicator_spark.operators.components import clusters_from_pairs
+from deduplicator_spark.operators.lsh import band_explode, candidate_pairs, verify_pairs
+from deduplicator_spark.operators.ranking import actions_from_ranking, with_canonical
+
+
+@dataclass
+class StageMetric:
+    stage: str
+    rows: int
+    wall_s: float
+    n_partitions: int
+    partition_rows: list[tuple[int, int]] = field(default_factory=list)
+
+
+class DedupPipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        cfg: DedupConfig | None = None,
+        work_dir: str | None = None,
+        run_id: str = "run-0",
+    ):
+        self.spark = spark
+        self.cfg = cfg or DedupConfig()
+        self.work_dir = work_dir
+        self.run_id = run_id
+        self.metrics: list[StageMetric] = []
+
+    # --- checkpoint plumbing -------------------------------------------------
+
+    def _path(self, stage: str) -> str | None:
+        if not self.work_dir:
+            return None
+        return os.path.join(self.work_dir, f"cfg={self.cfg.config_id}", stage)
+
+    def _done(self, stage: str) -> bool:
+        p = self._path(stage)
+        return bool(p) and os.path.exists(os.path.join(p, "_SUCCESS"))
+
+    def _checkpoint(self, stage: str, df: DataFrame, resume: bool) -> DataFrame:
+        """Write-or-reload a stage, recording per-partition lineage metrics."""
+        p = self._path(stage)
+        t0 = time.monotonic()
+        if p and resume and self._done(stage):
+            out = self.spark.read.parquet(p)
+            self._record(stage, out, time.monotonic() - t0, cached=True)
+            return out
+        if p:
+            df.write.mode("overwrite").parquet(p)
+            out = self.spark.read.parquet(p)
+        else:
+            out = df.localCheckpoint()
+        self._record(stage, out, time.monotonic() - t0, cached=False)
+        return out
+
+    def _record(self, stage: str, df: DataFrame, wall_s: float, cached: bool) -> None:
+        per_part = (
+            df.groupBy(F.spark_partition_id().alias("pid"))
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+        rows = sum(r["n"] for r in per_part)
+        self.metrics.append(
+            StageMetric(
+                stage=("resume:" if cached else "") + stage,
+                rows=rows,
+                wall_s=round(wall_s, 3),
+                n_partitions=len(per_part),
+                partition_rows=[(r["pid"], r["n"]) for r in per_part],
+            )
+        )
+
+    def metrics_df(self) -> DataFrame:
+        rows = [
+            (self.run_id, m.stage, pid, n, m.wall_s)
+            for m in self.metrics
+            for pid, n in (m.partition_rows or [(-1, m.rows)])
+        ]
+        return self.spark.createDataFrame(
+            rows, "run_id string, stage string, partition_id int, rows long, wall_s double"
+        )
+
+    # --- the pipeline --------------------------------------------------------
+
+    def run(self, pages: DataFrame, resume: bool = True, min_cluster_size: int = 2) -> dict[str, DataFrame]:
+        cfg = self.cfg
+        fp_udf = make_fingerprint_udf(cfg)
+
+        fingerprints = self._checkpoint(
+            "fingerprints",
+            pages.select(
+                "url",
+                F.md5("text").alias("content_md5"),
+                F.length("text").alias("n_chars"),
+                F.octet_length("text").alias("byte_len"),
+                fp_udf(F.col("text")).alias("f"),
+            ).select("url", "content_md5", "n_chars", "byte_len", "f.*"),
+            resume,
+        )
+
+        quarantine = self._checkpoint(
+            "quarantine",
+            fingerprints.filter(F.col("n_shingles") == 0).select("url", "content_md5"),
+            resume,
+        )
+
+        if self._done("near_pairs") and resume:
+            near = self.spark.read.parquet(self._path("near_pairs"))
+            self._record("resume:near_pairs", near, 0.0, cached=True)
+            overflow = None
+        else:
+            banded = band_explode(fingerprints, cfg)
+            pairs, overflow = candidate_pairs(banded, cfg)
+            near = verify_pairs(pairs, fingerprints, cfg)
+            near = self._checkpoint("near_pairs", near, resume=False)
+            if self.work_dir is not None and overflow is not None:
+                overflow.write.mode("overwrite").parquet(self._path("overflow_buckets"))
+
+        exact_pairs = self._checkpoint(
+            "exact_pairs", self._exact_pairs(fingerprints), resume
+        )
+
+        edges = self._checkpoint(
+            "edges",
+            near.select("url_a", "url_b").unionByName(exact_pairs).dropDuplicates(),
+            resume,
+        )
+
+        clusters = self._checkpoint(
+            "clusters",
+            clusters_from_pairs(edges, all_docs=fingerprints, min_size=min_cluster_size),
+            resume,
+        )
+
+        ranked = with_canonical(
+            clusters.join(
+                fingerprints.select("url", "n_tokens", "n_chars", "byte_len"), "url"
+            )
+        )
+        actions = self._checkpoint("actions", actions_from_ranking(ranked), resume)
+
+        out = {
+            "fingerprints": fingerprints,
+            "quarantine": quarantine,
+            "near_pairs": near,
+            "exact_pairs": exact_pairs,
+            "edges": edges,
+            "clusters": clusters,
+            "actions": actions,
+        }
+        if self.work_dir:
+            self.metrics_df().write.mode("append").parquet(
+                os.path.join(self.work_dir, "metrics")
+            )
+        return out
+
+    @staticmethod
+    def _exact_pairs(fingerprints: DataFrame) -> DataFrame:
+        """md5 equi-self-join over the already-computed digests."""
+        md5 = fingerprints.select("url", "content_md5")
+        a, b = md5.alias("a"), md5.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.content_md5") == F.col("b.content_md5"))
+                & (F.col("a.url") < F.col("b.url")),
+            )
+            .select(F.col("a.url").alias("url_a"), F.col("b.url").alias("url_b"))
+        )
