@@ -214,6 +214,33 @@ def q_pipeline_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out["actions"]
 
 
+def q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-array substring pass (winnowing anchors guarantee recall
+    1.0 for matches >= min_len; rows-only: iterative numpy SA verify
+    is not single-statement SQL)."""
+    from deduplicator_spark.operators.substring import substring_pairs
+
+    pages = synth_pages_with_truth(spark, 500).select("url", "text")
+    pairs, _ = substring_pairs(pages, CFG)
+    return pairs
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing smoke: binary media -> feature vectors with
+    quarantine semantics (decode stubbed, plumbing real)."""
+    from deduplicator_spark.operators.multimodal import extract_media_features
+
+    pages = synth_pages_with_truth(spark, 200).select(
+        "url", F.lit("image").alias("media_type"), F.col("html").alias("content"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("bigint").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    return extract_media_features(pages).select("url", "media_type", "byte_len", "n_frames")
+
+
 def q_alt_series_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P7 alt filter over synthetic near-dup clusters (rows-only)."""
     df = synth_pages_with_truth(spark, 500).select(
@@ -263,6 +290,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_pairs": q_ann_lsh_pairs,
         "pipeline_actions": q_pipeline_actions,
         "alt_series_filter": q_alt_series_filter,
+        "substring_pairs": q_substring_pairs,
+        "media_features": q_media_features,
     }
 
 

@@ -1,0 +1,210 @@
+"""Exact-substring duplicate detection — the suffix-array pass.
+
+No reference analog (the reference matches whole-file fingerprints
+only); mandated by the north rule, following the design of Lee et al.,
+"Deduplicating Training Data Makes Language Models Better" (suffix
+arrays over concatenated corpora) combined with Schleimer et al.'s
+winnowing (MOSS) for distributed candidate generation:
+
+1. **Winnowing anchors** (candidate generation, vectorized numpy in a
+   pandas UDF): hash every ``k``-char gram of the normalized text; in
+   every sliding window of ``w = min_len - k + 1`` grams select the
+   minimum hash.  GUARANTEE: two docs sharing any substring of length
+   >= ``w + k - 1 = min_len`` share at least one selected anchor hash
+   — so the bucket join below has recall 1.0 by construction, not
+   probabilistically.
+2. **Bucket join** on anchor hash -> candidate (url_a, url_b) pairs.
+   Hot anchors (boilerplate) are capped with logged overflow exactly
+   like LSH band buckets.
+3. **Suffix-array verify**: per candidate pair, build a suffix array
+   over the two texts' concatenation (numpy prefix-doubling), take the
+   maximum cross-document LCP — the true longest common substring.
+   Pairs with LCS >= ``min_len`` become edges with ``matched_len``.
+
+Scale shape: the only shuffles are (anchor_hash) and (url) equi-joins;
+verification touches candidate pairs only.  The per-pair suffix array
+runs inside ``mapInPandas`` batches (Arrow in, Arrow out).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from deduplicator_spark.config import DedupConfig
+
+_U64 = np.uint64
+_BASE = _U64(0x100000001B3)
+
+
+# --------------------------------------------------------------------------
+# numpy suffix array (prefix doubling) + cross-doc LCS
+# --------------------------------------------------------------------------
+
+def suffix_array(s: np.ndarray) -> np.ndarray:
+    """Suffix array of an integer sequence, O(n log^2 n) prefix doubling."""
+    n = len(s)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    rank = np.asarray(s, dtype=np.int64)
+    k = 1
+    while k < 2 * n:
+        key2 = np.full(n, -1, dtype=np.int64)
+        key2[: n - k] = rank[k:]
+        order = np.lexsort((key2, rank))
+        changed = np.ones(n, dtype=np.int64)
+        changed[1:] = (rank[order[1:]] != rank[order[:-1]]) | (
+            key2[order[1:]] != key2[order[:-1]]
+        )
+        new_rank = np.empty(n, dtype=np.int64)
+        new_rank[order] = np.cumsum(changed) - 1
+        rank = new_rank
+        if rank[order[-1]] == n - 1:
+            return order
+        k *= 2
+    return order
+
+
+def _adjacent_lcp_max_cross(s: np.ndarray, sa: np.ndarray, doc_of: np.ndarray) -> int:
+    """Max LCP between SA-adjacent suffixes belonging to different docs.
+
+    All surviving pairs extend in lockstep, one vectorized char-compare
+    per depth (O(max_lcp) numpy passes).
+    """
+    if len(sa) < 2:
+        return 0
+    i, j = sa[:-1], sa[1:]
+    cross = doc_of[i] != doc_of[j]
+    if not cross.any():
+        return 0
+    i, j = i[cross], j[cross]
+    n = len(s)
+    lcp = np.zeros(len(i), dtype=np.int64)
+    active = np.arange(len(i))
+    d = 0
+    while len(active):
+        ii, jj = i[active] + d, j[active] + d
+        ok = (ii < n) & (jj < n)
+        ok[ok] = s[ii[ok]] == s[jj[ok]]
+        lcp[active[ok]] += 1
+        active = active[ok]
+        d += 1
+    return int(lcp.max(initial=0))
+
+
+def longest_common_substring_len(a: str, b: str) -> int:
+    """True LCS length via suffix array over 'a + SEP + b'."""
+    if not a or not b:
+        return 0
+    xa = np.frombuffer(a.encode("utf-8"), dtype=np.uint8).astype(np.int64) + 2
+    xb = np.frombuffer(b.encode("utf-8"), dtype=np.uint8).astype(np.int64) + 2
+    s = np.concatenate([xa, np.array([1], dtype=np.int64), xb])
+    doc_of = np.concatenate(
+        [np.zeros(len(xa) + 1, dtype=np.int8), np.ones(len(xb), dtype=np.int8)]
+    )
+    sa = suffix_array(s)
+    return _adjacent_lcp_max_cross(s, sa, doc_of)
+
+
+# --------------------------------------------------------------------------
+# winnowing anchors
+# --------------------------------------------------------------------------
+
+def make_winnow_udf(cfg: DedupConfig):
+    """pandas UDF: text -> array<long> of winnowed anchor hashes."""
+    k = cfg.winnow_gram
+    w = cfg.substring_min_len - k + 1
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def winnow(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts.fillna(""):
+            norm = " ".join(t.lower().split())
+            raw = np.frombuffer(norm.encode("utf-8"), dtype=np.uint8).astype(_U64)
+            n = len(raw)
+            if n < k:
+                out.append(None)
+                continue
+            # rolling polynomial k-gram hashes (vectorized)
+            win = np.lib.stride_tricks.sliding_window_view(raw, k)
+            weights = _BASE ** np.arange(k, dtype=_U64)
+            with np.errstate(over="ignore"):
+                grams = (win * weights).sum(axis=1, dtype=_U64)
+                grams = (grams ^ (grams >> _U64(31))) * _U64(0xBF58476D1CE4E5B9)
+            if len(grams) <= w:
+                out.append(np.unique(grams).view(np.int64))
+                continue
+            mins = np.min(np.lib.stride_tricks.sliding_window_view(grams, w), axis=1)
+            out.append(np.unique(mins).view(np.int64))
+        return pd.Series(out)
+
+    return winnow
+
+
+# --------------------------------------------------------------------------
+# the operator
+# --------------------------------------------------------------------------
+
+VERIFY_SCHEMA = T.StructType(
+    [
+        T.StructField("url_a", T.StringType(), False),
+        T.StructField("url_b", T.StringType(), False),
+        T.StructField("matched_len", T.IntegerType(), False),
+    ]
+)
+
+
+def substring_pairs(
+    pages: DataFrame, cfg: DedupConfig, text_col: str = "text", max_bucket: int | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """(url_a, url_b, matched_len) pairs sharing a substring of
+    >= cfg.substring_min_len normalized chars; plus the overflow audit
+    of capped hot anchors."""
+    max_bucket = max_bucket or cfg.max_band_bucket
+    winnow = make_winnow_udf(cfg)
+    anchors = (
+        pages.select("url", text_col)
+        .select("url", F.explode(winnow(F.col(text_col))).alias("anchor"))
+        .dropDuplicates(["url", "anchor"])
+    )
+    sizes = anchors.groupBy("anchor").agg(F.count("*").alias("bucket_size"))
+    overflow = sizes.filter(F.col("bucket_size") > max_bucket)
+    ok = anchors.join(F.broadcast(overflow.select("anchor")), "anchor", "left_anti")
+
+    a, b = ok.alias("a"), ok.alias("b")
+    cand = (
+        a.join(b, (F.col("a.anchor") == F.col("b.anchor")) & (F.col("a.url") < F.col("b.url")))
+        .select(F.col("a.url").alias("url_a"), F.col("b.url").alias("url_b"))
+        .dropDuplicates(["url_a", "url_b"])
+    )
+
+    texts = pages.select("url", F.col(text_col).alias("t"))
+    joined = (
+        cand.join(texts.withColumnsRenamed({"url": "url_a", "t": "t_a"}), "url_a")
+        .join(texts.withColumnsRenamed({"url": "url_b", "t": "t_b"}), "url_b")
+    )
+
+    min_len = cfg.substring_min_len
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for url_a, url_b, ta, tb in zip(pdf["url_a"], pdf["url_b"], pdf["t_a"], pdf["t_b"]):
+                na = " ".join((ta or "").lower().split())
+                nb = " ".join((tb or "").lower().split())
+                m = longest_common_substring_len(na, nb)
+                if m >= min_len:
+                    rows.append((url_a, url_b, m))
+            if rows:
+                yield pd.DataFrame(rows, columns=["url_a", "url_b", "matched_len"])
+
+    verified = joined.mapInPandas(verify, schema=VERIFY_SCHEMA)
+    return verified, overflow

@@ -34,6 +34,7 @@ from deduplicator_spark.config import DedupConfig
 from deduplicator_spark.functions.fingerprints import make_fingerprint_udf
 from deduplicator_spark.operators.components import clusters_from_pairs
 from deduplicator_spark.operators.lsh import band_explode, candidate_pairs, verify_pairs
+from deduplicator_spark.operators.substring import substring_pairs
 from deduplicator_spark.operators.ranking import actions_from_ranking, with_canonical
 
 
@@ -116,7 +117,13 @@ class DedupPipeline:
 
     # --- the pipeline --------------------------------------------------------
 
-    def run(self, pages: DataFrame, resume: bool = True, min_cluster_size: int = 2) -> dict[str, DataFrame]:
+    def run(
+        self,
+        pages: DataFrame,
+        resume: bool = True,
+        min_cluster_size: int = 2,
+        include_substring: bool = False,
+    ) -> dict[str, DataFrame]:
         cfg = self.cfg
         fp_udf = make_fingerprint_udf(cfg)
 
@@ -154,11 +161,25 @@ class DedupPipeline:
             "exact_pairs", self._exact_pairs(fingerprints), resume
         )
 
-        edges = self._checkpoint(
-            "edges",
-            near.select("url_a", "url_b").unionByName(exact_pairs).dropDuplicates(),
-            resume,
-        )
+        pair_sources = [near.select("url_a", "url_b"), exact_pairs]
+        substring = None
+        if include_substring:
+            if self._done("substring_pairs") and resume:
+                substring = self.spark.read.parquet(self._path("substring_pairs"))
+                self._record("resume:substring_pairs", substring, 0.0, cached=True)
+            else:
+                sub_pairs, sub_overflow = substring_pairs(pages, cfg)
+                substring = self._checkpoint("substring_pairs", sub_pairs, resume=False)
+                if self.work_dir is not None:
+                    sub_overflow.write.mode("overwrite").parquet(
+                        self._path("substring_overflow")
+                    )
+            pair_sources.append(substring.select("url_a", "url_b"))
+
+        all_pairs = pair_sources[0]
+        for src in pair_sources[1:]:
+            all_pairs = all_pairs.unionByName(src)
+        edges = self._checkpoint("edges", all_pairs.dropDuplicates(), resume)
 
         clusters = self._checkpoint(
             "clusters",
@@ -173,7 +194,7 @@ class DedupPipeline:
         )
         actions = self._checkpoint("actions", actions_from_ranking(ranked), resume)
 
-        out = {
+        out: dict[str, DataFrame] = {
             "fingerprints": fingerprints,
             "quarantine": quarantine,
             "near_pairs": near,
@@ -182,6 +203,8 @@ class DedupPipeline:
             "clusters": clusters,
             "actions": actions,
         }
+        if substring is not None:
+            out["substring_pairs"] = substring
         if self.work_dir:
             self.metrics_df().write.mode("append").parquet(
                 os.path.join(self.work_dir, "metrics")
