@@ -163,7 +163,9 @@ def q_minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     token-5-gram Jaccard >= 0.8 (LSH miss probability at J>=0.8 is
     ~5e-8 with b=32, r=4 — below the value-hash resolution).
     """
-    fp = _docs_fp(spark, sf_dir)
+    # localCheckpoint: the fingerprint UDF pass runs once, not once per
+    # downstream branch (banding, verify join a, verify join b)
+    fp = _docs_fp(spark, sf_dir).localCheckpoint()
     banded = band_explode(fp, CFG)
     pairs, _ = candidate_pairs(banded, CFG)
     verified = verify_pairs(pairs, fp, CFG)

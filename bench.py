@@ -82,13 +82,17 @@ def main() -> None:
     # q1: headline — end-to-end near-dup dedup (fingerprint -> LSH ->
     # verify -> connected components) on the synthetic corpus
     def q1():
+        from deduplicator_spark.plans.chain import decode_clusters, encode_fp, encode_ids
+
         pages = spark.read.parquet(corpus)
         fp = pages.select("url", fp_udf(F.col("text")).alias("f")).select("url", "f.*")
         fp = fp.localCheckpoint()  # fingerprint once; measured inside q1
-        banded = band_explode(fp, CFG)
+        dict_ids = encode_ids(fp).localCheckpoint()
+        fp_n = encode_fp(fp, dict_ids).localCheckpoint()
+        banded = band_explode(fp_n, CFG)
         pairs, _ = candidate_pairs(banded, CFG)
-        verified = verify_pairs(pairs, fp, CFG)
-        clusters = clusters_from_pairs(verified, min_size=2)
+        verified = verify_pairs(pairs, fp_n, CFG)
+        clusters = decode_clusters(clusters_from_pairs(verified, min_size=2), dict_ids)
         return clusters.count()
 
     n_clustered = timed("q1_minhash_lsh_dedup", q1)

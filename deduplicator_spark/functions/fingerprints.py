@@ -71,10 +71,11 @@ def _batch_shingle_hashes(texts: pd.Series, k: int) -> tuple[np.ndarray, np.ndar
     Returns (shingle_hashes: uint64[S_total], shingle_doc: int64[S_total]
     mapping each shingle to its doc index, n_tokens: int64[D]).
     """
+    from itertools import chain
+
     token_lists = texts.fillna("").str.lower().str.split()
     n_tokens = token_lists.str.len().to_numpy(dtype=np.int64)
-    D = len(texts)
-    flat = [t for toks in token_lists for t in toks]
+    flat = list(chain.from_iterable(token_lists))
     if not flat:
         return np.empty(0, _U64), np.empty(0, np.int64), n_tokens
     tok_hash = pd.util.hash_array(np.asarray(flat, dtype=object))  # uint64, deterministic
@@ -139,33 +140,31 @@ def make_fingerprint_udf(cfg: DedupConfig) -> Callable:
         sh, seg, n_tokens = _batch_shingle_hashes(texts, k)
         sig = _segment_min(sh, seg, D, a, b)
         sim = _segment_simhash(sh, seg, D)
-        counts = np.bincount(seg, minlength=D) if len(seg) else np.zeros(D, dtype=np.int64)
-
-        # distinct sorted shingle hashes per doc (for exact-Jaccard verify)
-        order = np.argsort(seg, kind="stable")
-        sh_sorted, seg_sorted = sh[order], seg[order]
-        bounds = np.searchsorted(seg_sorted, np.arange(D + 1))
         sig_i64 = sig.view(np.int64)
         sim_i64 = sim.view(np.int64)
 
-        minhash_col, shingles_col, nsh_col = [], [], np.zeros(D, dtype=np.int64)
-        for d in range(D):
-            seg_vals = sh_sorted[bounds[d] : bounds[d + 1]]
-            if len(seg_vals) == 0:
-                minhash_col.append(None)
-                shingles_col.append(None)
-            else:
-                uniq = np.unique(seg_vals)
-                nsh_col[d] = len(uniq)
-                minhash_col.append(sig_i64[d])
-                shingles_col.append(uniq.view(np.int64))
+        # distinct sorted shingle hashes per doc, fully vectorized:
+        # one lexsort over the whole batch, first-occurrence mask,
+        # then np.split into per-doc views.
+        if len(seg):
+            order = np.lexsort((sh, seg))
+            ss, gg = sh[order], seg[order]
+            first = np.ones(len(ss), dtype=bool)
+            first[1:] = (gg[1:] != gg[:-1]) | (ss[1:] != ss[:-1])
+            su, gu = ss[first].view(np.int64), gg[first]
+            nsh_col = np.bincount(gu, minlength=D).astype(np.int64)
+            arrays = np.split(su, np.cumsum(nsh_col)[:-1])
+        else:
+            nsh_col = np.zeros(D, dtype=np.int64)
+            arrays = [np.empty(0, dtype=np.int64)] * D
+
+        has = nsh_col > 0
+        minhash_col = [sig_i64[d] if has[d] else None for d in range(D)]
+        shingles_col = [arrays[d] if has[d] else None for d in range(D)]
         return pd.DataFrame(
             {
                 "minhash": minhash_col,
-                "simhash": pd.array(
-                    [int(sim_i64[d]) if counts[d] > 0 else None for d in range(D)],
-                    dtype="Int64",
-                ),
+                "simhash": pd.Series(sim_i64).where(pd.Series(has)).astype("Int64"),
                 "n_shingles": nsh_col.astype(np.int32),
                 "n_tokens": n_tokens.astype(np.int32),
                 "shingles": shingles_col,

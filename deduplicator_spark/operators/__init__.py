@@ -3,9 +3,34 @@ from deduplicator_spark.operators.lsh import (
     band_explode,
     candidate_pairs,
     estimate_jaccard,
+    simhash_pairs,
     verify_pairs,
 )
 from deduplicator_spark.operators.components import connected_components, clusters_from_pairs
+from deduplicator_spark.operators.ranking import (
+    actions_from_ranking,
+    super_state,
+    with_canonical,
+)
+from deduplicator_spark.operators.series import filter_known_alts, series_info, with_series_columns
+from deduplicator_spark.operators.incremental import (
+    apply_journal,
+    changed_fingerprints,
+    new_docs,
+    prune,
+    purge,
+    validate_merge,
+)
+from deduplicator_spark.operators.substring import (
+    longest_common_substring_len,
+    substring_pairs,
+    suffix_array,
+)
+from deduplicator_spark.operators.ann import cosine_topk_pairs, hyperplane_lsh_pairs
+from deduplicator_spark.operators.multimodal import (
+    extract_media_features,
+    media_near_dup_pairs,
+)
 
 __all__ = [
     "exact_clusters",
@@ -13,7 +38,27 @@ __all__ = [
     "band_explode",
     "candidate_pairs",
     "estimate_jaccard",
+    "simhash_pairs",
     "verify_pairs",
     "connected_components",
     "clusters_from_pairs",
+    "actions_from_ranking",
+    "super_state",
+    "with_canonical",
+    "filter_known_alts",
+    "series_info",
+    "with_series_columns",
+    "apply_journal",
+    "changed_fingerprints",
+    "new_docs",
+    "prune",
+    "purge",
+    "validate_merge",
+    "longest_common_substring_len",
+    "substring_pairs",
+    "suffix_array",
+    "cosine_topk_pairs",
+    "hyperplane_lsh_pairs",
+    "extract_media_features",
+    "media_near_dup_pairs",
 ]

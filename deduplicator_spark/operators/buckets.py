@@ -1,0 +1,58 @@
+"""Shared skew-shaped bucket-to-pairs expansion.
+
+Turns (bucket_key..., url) rows into candidate (url_a, url_b) pairs,
+built for Zipf-hot buckets (boilerplate templates put the same hot
+cluster into many buckets):
+
+  1. light counts pass — singleton buckets (the vast majority) never
+     shuffle their payload; buckets above ``cap`` go to the overflow
+     audit (logged, never silently dropped),
+  2. broadcast semi-join keeps only rows of eligible buckets,
+  3. one groupBy collects sorted member arrays; identical member sets
+     across buckets collapse via dropDuplicates — a hot cluster
+     sitting in 32 band buckets expands its pairs once, not 32x,
+  4. pair expansion is a bucket-keyed self-join over the re-exploded
+     members (streams and parallelizes; building the C(m,2) array as
+     one row value would be a single-task GC storm),
+  5. final dropDuplicates on the pair key.
+
+Used by the MinHash-LSH band join (operators/lsh.py) and the winnowing
+anchor join (operators/substring.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bucket_pairs(
+    keyed: DataFrame, key_cols: list[str], cap: int, url_col: str = "url"
+) -> tuple[DataFrame, DataFrame]:
+    """(pairs(url_a, url_b), overflow(key_cols..., bucket_size))."""
+    counts = keyed.groupBy(*key_cols).agg(F.count("*").alias("bucket_size"))
+    overflow = counts.filter(F.col("bucket_size") > cap)
+    eligible = counts.filter(
+        (F.col("bucket_size") >= 2) & (F.col("bucket_size") <= cap)
+    ).select(*key_cols)
+
+    ok = keyed.join(F.broadcast(eligible), key_cols, "left_semi")
+    buckets = ok.groupBy(*key_cols).agg(
+        F.sort_array(F.collect_list(url_col)).alias("members")
+    )
+    distinct_buckets = buckets.select("members").dropDuplicates()
+
+    exploded = distinct_buckets.select(
+        F.xxhash64("members").alias("bucket_key"), F.explode("members").alias("url")
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bucket_key") == F.col("b.bucket_key"))
+            & (F.col("a.url") < F.col("b.url")),
+        )
+        .select(F.col("a.url").alias("url_a"), F.col("b.url").alias("url_b"))
+        .dropDuplicates(["url_a", "url_b"])
+    )
+    return pairs, overflow

@@ -56,6 +56,8 @@ def connected_components(
             .groupBy(F.col("v").alias("url2"))
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
+        # lazy checkpoint: the convergence count below is the one
+        # materializing action per iteration (eager would add a job)
         new_labels = (
             labels.join(neighbor_min, labels["url"] == F.col("url2"), "left")
             .select(
@@ -65,7 +67,7 @@ def connected_components(
                 ),
                 (F.col("nbr_min") < F.col("cluster_id")).alias("changed"),
             )
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         n_changed = new_labels.filter(F.col("changed")).count()
         labels = new_labels.drop("changed")
         if n_changed == 0:

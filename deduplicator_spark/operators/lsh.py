@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from deduplicator_spark.config import DedupConfig
+from deduplicator_spark.operators.buckets import bucket_pairs
 
 
 def band_explode(fp: DataFrame, cfg: DedupConfig) -> DataFrame:
@@ -54,31 +55,24 @@ def band_explode(fp: DataFrame, cfg: DedupConfig) -> DataFrame:
 def candidate_pairs(
     banded: DataFrame, cfg: DedupConfig
 ) -> tuple[DataFrame, DataFrame]:
-    """Self-join band buckets into (url_a, url_b) candidates.
+    """Band buckets -> (url_a, url_b) candidates.
 
-    Returns (pairs, overflow_buckets).  ``overflow_buckets`` is the
-    audit of capped hot buckets: (band_idx, band_hash, bucket_size).
+    Shape chosen for the Zipf reality of web text: a hot near-dup
+    cluster lands its members in the SAME bucket in all 32 bands, so a
+    naive bucket self-join materializes the clique's pairs 32 times
+    before dedup.  Instead:
+
+      1. a light counts pass excludes singleton buckets and caps hot
+         ones (overflow audited, never silently dropped),
+      2. member arrays are collected only for eligible buckets and
+         identical member sets across bands collapse — the hot clique
+         expands its pairs ONCE, not 32x,
+      3. expansion itself is a bucket-keyed self-join that streams.
+
+    Returns (pairs, overflow_buckets(band_idx, band_hash, bucket_size)).
+    See operators/buckets.py for the skew-shaped expansion mechanics.
     """
-    sizes = banded.groupBy("band_idx", "band_hash").agg(F.count("*").alias("bucket_size"))
-    overflow = sizes.filter(F.col("bucket_size") > cfg.max_band_bucket)
-
-    ok = banded.join(
-        F.broadcast(overflow.select("band_idx", "band_hash")),
-        ["band_idx", "band_hash"],
-        "left_anti",
-    )
-    a, b = ok.alias("a"), ok.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.url") < F.col("b.url")),
-        )
-        .select(F.col("a.url").alias("url_a"), F.col("b.url").alias("url_b"))
-        .dropDuplicates(["url_a", "url_b"])
-    )
-    return pairs, overflow
+    return bucket_pairs(banded, ["band_idx", "band_hash"], cfg.max_band_bucket)
 
 
 def estimate_jaccard(pairs: DataFrame, fp: DataFrame, cfg: DedupConfig) -> DataFrame:

@@ -166,6 +166,8 @@ def substring_pairs(
     """(url_a, url_b, matched_len) pairs sharing a substring of
     >= cfg.substring_min_len normalized chars; plus the overflow audit
     of capped hot anchors."""
+    from deduplicator_spark.operators.buckets import bucket_pairs
+
     max_bucket = max_bucket or cfg.max_band_bucket
     winnow = make_winnow_udf(cfg)
     anchors = (
@@ -173,16 +175,10 @@ def substring_pairs(
         .select("url", F.explode(winnow(F.col(text_col))).alias("anchor"))
         .dropDuplicates(["url", "anchor"])
     )
-    sizes = anchors.groupBy("anchor").agg(F.count("*").alias("bucket_size"))
-    overflow = sizes.filter(F.col("bucket_size") > max_bucket)
-    ok = anchors.join(F.broadcast(overflow.select("anchor")), "anchor", "left_anti")
-
-    a, b = ok.alias("a"), ok.alias("b")
-    cand = (
-        a.join(b, (F.col("a.anchor") == F.col("b.anchor")) & (F.col("a.url") < F.col("b.url")))
-        .select(F.col("a.url").alias("url_a"), F.col("b.url").alias("url_b"))
-        .dropDuplicates(["url_a", "url_b"])
-    )
+    # same skew-shaped expansion as the LSH band join: hot anchors
+    # (boilerplate substrings) are counted first, capped with audit,
+    # and identical anchor buckets collapse before pair expansion
+    cand, overflow = bucket_pairs(anchors, ["anchor"], max_bucket)
 
     texts = pages.select("url", F.col(text_col).alias("t"))
     joined = (

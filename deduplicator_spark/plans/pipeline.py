@@ -35,6 +35,7 @@ from deduplicator_spark.functions.fingerprints import make_fingerprint_udf
 from deduplicator_spark.operators.components import clusters_from_pairs
 from deduplicator_spark.operators.lsh import band_explode, candidate_pairs, verify_pairs
 from deduplicator_spark.operators.substring import substring_pairs
+from deduplicator_spark.plans.chain import decode_clusters, decode_pairs, encode_fp, encode_ids
 from deduplicator_spark.operators.ranking import actions_from_ranking, with_canonical
 
 
@@ -145,20 +146,29 @@ class DedupPipeline:
             resume,
         )
 
+        # Heavy middle runs on 64-bit surrogate ids (plans/chain.py):
+        # pair expansion, dedup and CC shuffle 8-byte keys, not urls.
+        dict_ids = encode_ids(fingerprints).localCheckpoint()
+        # checkpoint: the encode join carries the wide fingerprint rows
+        # (signatures + shingle arrays) and feeds four consumers
+        # (bucket counts, bucket fill, verify x2) — recomputing it per
+        # consumer re-shuffles ~1 KB/doc each time
+        fp_n = encode_fp(fingerprints, dict_ids).localCheckpoint()
+
         if self._done("near_pairs") and resume:
             near = self.spark.read.parquet(self._path("near_pairs"))
             self._record("resume:near_pairs", near, 0.0, cached=True)
             overflow = None
         else:
-            banded = band_explode(fingerprints, cfg)
+            banded = band_explode(fp_n, cfg)
             pairs, overflow = candidate_pairs(banded, cfg)
-            near = verify_pairs(pairs, fingerprints, cfg)
+            near = verify_pairs(pairs, fp_n, cfg)
             near = self._checkpoint("near_pairs", near, resume=False)
             if self.work_dir is not None and overflow is not None:
                 overflow.write.mode("overwrite").parquet(self._path("overflow_buckets"))
 
         exact_pairs = self._checkpoint(
-            "exact_pairs", self._exact_pairs(fingerprints), resume
+            "exact_pairs", self._exact_pairs(fp_n), resume
         )
 
         pair_sources = [near.select("url_a", "url_b"), exact_pairs]
@@ -168,7 +178,12 @@ class DedupPipeline:
                 substring = self.spark.read.parquet(self._path("substring_pairs"))
                 self._record("resume:substring_pairs", substring, 0.0, cached=True)
             else:
-                sub_pairs, sub_overflow = substring_pairs(pages, cfg)
+                pages_n = (
+                    pages.select("url", "text")
+                    .join(dict_ids, "url")
+                    .select(F.col("nid").alias("url"), "text")
+                )
+                sub_pairs, sub_overflow = substring_pairs(pages_n, cfg)
                 substring = self._checkpoint("substring_pairs", sub_pairs, resume=False)
                 if self.work_dir is not None:
                     sub_overflow.write.mode("overwrite").parquet(
@@ -183,7 +198,10 @@ class DedupPipeline:
 
         clusters = self._checkpoint(
             "clusters",
-            clusters_from_pairs(edges, all_docs=fingerprints, min_size=min_cluster_size),
+            decode_clusters(
+                clusters_from_pairs(edges, all_docs=fp_n, min_size=min_cluster_size),
+                dict_ids,
+            ),
             resume,
         )
 
@@ -197,14 +215,14 @@ class DedupPipeline:
         out: dict[str, DataFrame] = {
             "fingerprints": fingerprints,
             "quarantine": quarantine,
-            "near_pairs": near,
-            "exact_pairs": exact_pairs,
-            "edges": edges,
+            "near_pairs": decode_pairs(near, dict_ids),
+            "exact_pairs": decode_pairs(exact_pairs, dict_ids),
+            "edges": edges,  # nid-keyed (internal representation)
             "clusters": clusters,
             "actions": actions,
         }
         if substring is not None:
-            out["substring_pairs"] = substring
+            out["substring_pairs"] = decode_pairs(substring, dict_ids)
         if self.work_dir:
             self.metrics_df().write.mode("append").parquet(
                 os.path.join(self.work_dir, "metrics")
@@ -213,14 +231,19 @@ class DedupPipeline:
 
     @staticmethod
     def _exact_pairs(fingerprints: DataFrame) -> DataFrame:
-        """md5 equi-self-join over the already-computed digests."""
+        """STAR edges per md5 group: (min member, other member).
+
+        Byte-identity is transitive, so a star connects the group with
+        n-1 edges instead of the C(n,2) clique — at web scale a
+        boilerplate md5 group with 10^5 members would otherwise emit
+        5e9 identical-content pairs into the edge set.  (The pair-level
+        all-pairs operator remains `operators.exact.exact_dup_pairs`
+        for pair queries; cluster formation only needs connectivity.)
+        """
         md5 = fingerprints.select("url", "content_md5")
-        a, b = md5.alias("a"), md5.alias("b")
+        hubs = md5.groupBy("content_md5").agg(F.min("url").alias("url_a"))
         return (
-            a.join(
-                b,
-                (F.col("a.content_md5") == F.col("b.content_md5"))
-                & (F.col("a.url") < F.col("b.url")),
-            )
-            .select(F.col("a.url").alias("url_a"), F.col("b.url").alias("url_b"))
+            md5.join(hubs, "content_md5")
+            .filter(F.col("url") != F.col("url_a"))
+            .select("url_a", F.col("url").alias("url_b"))
         )

@@ -102,7 +102,10 @@ class _Blocks:
 
     def __init__(self, n: int):
         self.n = n
-        self.hot_end = max(min(3, n), n * 2 // 100)
+        # hot template cluster: 2% of the corpus but capped — a real
+        # boilerplate cluster doesn't grow linearly with corpus size,
+        # and an uncapped one makes planted-pair counts quadratic in n
+        self.hot_end = min(max(min(3, n), n * 2 // 100), 1500)
         self.deg_end = self.hot_end + n * 2 // 100
         self.exact_end = self.deg_end + n * 10 // 100
         self.near_end = self.exact_end + n * 12 // 100
@@ -126,7 +129,7 @@ def _cluster_of(offset: np.ndarray, pattern: np.ndarray, period: int) -> tuple[n
     return cluster, member
 
 
-def _gen_batch(ids: np.ndarray, n: int, seed: int) -> pd.DataFrame:
+def _gen_batch(ids: np.ndarray, n: int, seed: int, tok_scale: int = 1) -> pd.DataFrame:
     b = _Blocks(n)
     m = len(ids)
     texts: list[str] = [""] * m
@@ -134,7 +137,7 @@ def _gen_batch(ids: np.ndarray, n: int, seed: int) -> pd.DataFrame:
     cluster_ids = np.empty(m, dtype=np.int64)
     members = np.zeros(m, dtype=np.int64)
 
-    hot_template = _proto_tokens(seed, -1 & 0xFFFF, 60)
+    hot_template = _proto_tokens(seed, -1 & 0xFFFF, 60 * tok_scale)
 
     for j in range(m):
         i = int(ids[j])
@@ -156,14 +159,14 @@ def _gen_batch(ids: np.ndarray, n: int, seed: int) -> pd.DataFrame:
             c, mem = _cluster_of(np.array([i - b.deg_end]), _EXACT_PATTERN, _EXACT_PERIOD)
             cluster_ids[j] = b.deg_end + int(c[0]) * 1000 + 1  # stable synthetic key
             members[j] = int(mem[0])
-            L = 30 + int(_h(seed, int(c[0]), 4)[()] % 50)
+            L = (30 + int(_h(seed, int(c[0]), 4)[()] % 50)) * tok_scale
             texts[j] = _words(_proto_tokens(seed, int(c[0]) ^ 0xE0, L))
         elif i < b.near_end:
             kinds[j] = "near"
             c, mem = _cluster_of(np.array([i - b.exact_end]), _NEAR_PATTERN, _NEAR_PERIOD)
             cluster_ids[j] = b.exact_end + int(c[0]) * 1000 + 2
             members[j] = int(mem[0])
-            L = 40 + int(_h(seed, int(c[0]), 5)[()] % 40)
+            L = (40 + int(_h(seed, int(c[0]), 5)[()] % 40)) * tok_scale
             toks = _proto_tokens(seed, int(c[0]) ^ 0xF0, L)
             mi = int(mem[0])
             if mi > 0:
@@ -178,18 +181,18 @@ def _gen_batch(ids: np.ndarray, n: int, seed: int) -> pd.DataFrame:
             c, mem = off // 2, off % 2
             cluster_ids[j] = b.near_end + c * 1000 + 3
             members[j] = mem
-            L = 20 + int(_h(seed, c, 9)[()] % 30)
+            L = (20 + int(_h(seed, c, 9)[()] % 30)) * tok_scale
             core = _words(_proto_tokens(seed, c ^ 0xAB, L))
             if mem == 0:
                 texts[j] = core
             else:
-                pre = _words(_proto_tokens(seed, c ^ 0xAC, 5 + int(_h(seed, c, 10)[()] % 6)))
-                post = _words(_proto_tokens(seed, c ^ 0xAD, 5 + int(_h(seed, c, 11)[()] % 6)))
+                pre = _words(_proto_tokens(seed, c ^ 0xAC, (5 + int(_h(seed, c, 10)[()] % 6)) * tok_scale))
+                post = _words(_proto_tokens(seed, c ^ 0xAD, (5 + int(_h(seed, c, 11)[()] % 6)) * tok_scale))
                 texts[j] = f"{pre} {core} {post}"
         else:
             kinds[j] = "unique"
             cluster_ids[j] = i
-            L = 30 + int(_h(seed, i, 12)[()] % 60)
+            L = (30 + int(_h(seed, i, 12)[()] % 60)) * tok_scale
             texts[j] = _words(_proto_tokens(seed, i ^ 0xBEEF0000, L))
 
     # urls: skewed domains, cluster-keyed leafs, series suffixes in near clusters
@@ -244,7 +247,12 @@ def _gen_batch(ids: np.ndarray, n: int, seed: int) -> pd.DataFrame:
     )
 
 
-def synth_pages_with_truth(spark: SparkSession, n: int, seed: int = 42, partitions: int | None = None) -> DataFrame:
+def synth_pages_with_truth(
+    spark: SparkSession, n: int, seed: int = 42, partitions: int | None = None, tok_scale: int = 1
+) -> DataFrame:
+    """tok_scale multiplies every document's token count (default 1 =
+    the frozen fixture sizes; bench uses >1 for web-realistic lengths
+    of ~300-500 tokens — duplicate structure is unchanged)."""
     """pages ⋈ truth in one DataFrame (columns of both schemas)."""
     parts = partitions or max(2, spark.sparkContext.defaultParallelism)
     base = spark.range(0, n, numPartitions=parts)
@@ -252,13 +260,15 @@ def synth_pages_with_truth(spark: SparkSession, n: int, seed: int = 42, partitio
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf):
-                yield _gen_batch(pdf["id"].to_numpy(), n, seed)
+                yield _gen_batch(pdf["id"].to_numpy(), n, seed, tok_scale)
 
     return base.mapInPandas(gen, schema=_FULL_SCHEMA)
 
 
-def synth_pages(spark: SparkSession, n: int, seed: int = 42, partitions: int | None = None) -> DataFrame:
-    return synth_pages_with_truth(spark, n, seed, partitions).select(
+def synth_pages(
+    spark: SparkSession, n: int, seed: int = 42, partitions: int | None = None, tok_scale: int = 1
+) -> DataFrame:
+    return synth_pages_with_truth(spark, n, seed, partitions, tok_scale).select(
         "url", "warc_ts", "html", "text", "lang"
     )
 
