@@ -28,7 +28,7 @@ from deduplicator_spark.config import DedupConfig  # noqa: E402
 from deduplicator_spark.operators.ann import hyperplane_lsh_pairs  # noqa: E402
 from deduplicator_spark.operators.components import clusters_from_pairs  # noqa: E402
 from deduplicator_spark.operators.exact import exact_clusters  # noqa: E402
-from deduplicator_spark.operators.lsh import band_explode, candidate_pairs, verify_pairs  # noqa: E402
+from deduplicator_spark.operators.lsh import band_explode, candidate_pairs, verify_pairs_two_stage  # noqa: E402
 from deduplicator_spark.functions.fingerprints import make_fingerprint_udf  # noqa: E402
 from deduplicator_spark.plans.pipeline import DedupPipeline  # noqa: E402
 from deduplicator_spark.session import build_session  # noqa: E402
@@ -91,7 +91,7 @@ def main() -> None:
         fp_n = encode_fp(fp, dict_ids).localCheckpoint()
         banded = band_explode(fp_n, CFG)
         pairs, _ = candidate_pairs(banded, CFG)
-        verified = verify_pairs(pairs, fp_n, CFG)
+        verified = verify_pairs_two_stage(pairs, fp_n, CFG)
         clusters = decode_clusters(clusters_from_pairs(verified, min_size=2), dict_ids)
         return clusters.count()
 

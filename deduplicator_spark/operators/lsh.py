@@ -91,6 +91,25 @@ def estimate_jaccard(pairs: DataFrame, fp: DataFrame, cfg: DedupConfig) -> DataF
     return p.withColumn("est_jaccard", agree / F.lit(cfg.num_perm)).drop("sig_a", "sig_b")
 
 
+def verify_pairs_two_stage(pairs: DataFrame, fp: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Signature-estimate prefilter, then exact verify.
+
+    The exact verifier joins full shingle arrays (KBs per doc for
+    web-length pages); at millions of candidates that join is the
+    heaviest shuffle of the chain.  The estimate stage joins only the
+    fixed-size MinHash signatures and drops candidates whose estimated
+    Jaccard is below ``cfg.est_jaccard_prefilter`` — at the 0.8 verify
+    bar and 128 perms, a true pair estimates below 0.6 with
+    probability ~1e-8 (5.7 sigma), so recall is preserved while the
+    exact join sees ~10x fewer pairs.
+    """
+    est = estimate_jaccard(pairs, fp, cfg)
+    survivors = est.filter(F.col("est_jaccard") >= cfg.est_jaccard_prefilter).select(
+        "url_a", "url_b"
+    )
+    return verify_pairs(survivors, fp, cfg)
+
+
 def verify_pairs(pairs: DataFrame, fp: DataFrame, cfg: DedupConfig) -> DataFrame:
     """Exact shingle-set Jaccard on candidates; keep >= cfg.verify_jaccard.
 

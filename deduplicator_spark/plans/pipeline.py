@@ -33,7 +33,11 @@ from pyspark.sql import functions as F
 from deduplicator_spark.config import DedupConfig
 from deduplicator_spark.functions.fingerprints import make_fingerprint_udf
 from deduplicator_spark.operators.components import clusters_from_pairs
-from deduplicator_spark.operators.lsh import band_explode, candidate_pairs, verify_pairs
+from deduplicator_spark.operators.lsh import (
+    band_explode,
+    candidate_pairs,
+    verify_pairs_two_stage,
+)
 from deduplicator_spark.operators.substring import substring_pairs
 from deduplicator_spark.plans.chain import decode_clusters, decode_pairs, encode_fp, encode_ids
 from deduplicator_spark.operators.ranking import actions_from_ranking, with_canonical
@@ -162,7 +166,7 @@ class DedupPipeline:
         else:
             banded = band_explode(fp_n, cfg)
             pairs, overflow = candidate_pairs(banded, cfg)
-            near = verify_pairs(pairs, fp_n, cfg)
+            near = verify_pairs_two_stage(pairs, fp_n, cfg)
             near = self._checkpoint("near_pairs", near, resume=False)
             if self.work_dir is not None and overflow is not None:
                 overflow.write.mode("overwrite").parquet(self._path("overflow_buckets"))

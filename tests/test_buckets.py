@@ -1,0 +1,67 @@
+"""bucket_pairs: full expansion under cap, sampled ring over cap."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import functions as F
+
+from deduplicator_spark.operators.buckets import bucket_pairs
+
+
+def _keyed(spark, buckets):
+    rows = [(k, u) for k, urls in buckets.items() for u in urls]
+    return spark.createDataFrame(rows, "band string, url string")
+
+
+def test_small_buckets_full_pairs(spark):
+    keyed = _keyed(spark, {"b1": ["a", "b", "c"], "b2": ["x", "y"], "b3": ["solo"]})
+    pairs, overflow = bucket_pairs(keyed, ["band"], cap=10)
+    got = {(r["url_a"], r["url_b"]) for r in pairs.collect()}
+    assert got == {("a", "b"), ("a", "c"), ("b", "c"), ("x", "y")}
+    assert overflow.count() == 0
+
+
+def test_identical_buckets_collapse(spark):
+    keyed = _keyed(spark, {"b1": ["a", "b", "c"], "b2": ["a", "b", "c"]})
+    pairs, _ = bucket_pairs(keyed, ["band"], cap=10)
+    assert pairs.count() == 3
+
+
+def test_over_cap_ring_sampling(spark):
+    members = [f"u{i:03d}" for i in range(40)]
+    keyed = _keyed(spark, {"hot": members, "cold": ["p", "q"]})
+    pairs, overflow = bucket_pairs(keyed, ["band"], cap=10, ring_k=3)
+    got = {(r["url_a"], r["url_b"]) for r in pairs.collect()}
+    # cold bucket unaffected
+    assert ("p", "q") in got
+    # hot bucket: each member pairs with next <=3 successors, never full clique
+    hot_pairs = {p for p in got if p[0].startswith("u")}
+    expected = {
+        (members[i], members[j])
+        for i in range(40)
+        for j in range(i + 1, min(i + 4, 40))
+    }
+    assert hot_pairs == expected
+    assert len(hot_pairs) < len(list(combinations(members, 2)))
+    # audited, not silent
+    ov = overflow.collect()
+    assert len(ov) == 1 and ov[0]["bucket_size"] == 40
+
+
+def test_ring_keeps_bucket_connected(spark):
+    """Union-find over the ring edges spans the whole bucket."""
+    members = [f"m{i:02d}" for i in range(25)]
+    keyed = _keyed(spark, {"hot": members})
+    pairs, _ = bucket_pairs(keyed, ["band"], cap=5, ring_k=2)
+    parent = {m: m for m in members}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs.collect():
+        parent[find(r["url_a"])] = find(r["url_b"])
+    assert len({find(m) for m in members}) == 1
