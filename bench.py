@@ -84,11 +84,14 @@ def main() -> None:
     def q1():
         from deduplicator_spark.plans.chain import decode_clusters, encode_fp, encode_ids
 
-        pages = spark.read.parquet(corpus)
+        # explicit repartition: scan splits follow the writer's file
+        # layout, not the session's core count (see bench_scaling.py)
+        pages = spark.read.parquet(corpus).repartition(cpus * 3)
         fp = pages.select("url", fp_udf(F.col("text")).alias("f")).select("url", "f.*")
         fp = fp.localCheckpoint()  # fingerprint once; measured inside q1
-        dict_ids = encode_ids(fp).localCheckpoint()
-        fp_n = encode_fp(fp, dict_ids).localCheckpoint()
+        dict_ids, hash_ok = encode_ids(fp)
+        dict_ids = dict_ids.localCheckpoint()
+        fp_n = encode_fp(fp, dict_ids, hash_ok)
         banded = band_explode(fp_n, CFG)
         pairs, _ = candidate_pairs(banded, CFG)
         verified = verify_pairs_two_stage(pairs, fp_n, CFG)

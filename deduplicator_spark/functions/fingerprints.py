@@ -97,11 +97,17 @@ def _batch_shingle_hashes(texts: pd.Series, k: int) -> tuple[np.ndarray, np.ndar
     return combined[valid], doc_of[valid], n_tokens
 
 
-def _segment_min(vals: np.ndarray, seg_ids: np.ndarray, n_segs: int, a: np.ndarray, b: np.ndarray, chunk: int = 32) -> np.ndarray:
+def _segment_min(vals: np.ndarray, seg_ids: np.ndarray, n_segs: int, a: np.ndarray, b: np.ndarray, chunk: int = 8) -> np.ndarray:
     """MinHash signatures: per-segment minimum of (a*h+b) for each perm.
 
     vals: uint64[S] shingle hashes, seg_ids: sorted int64[S] doc index.
     Returns uint64[n_segs, num_perm] with MAX for empty segments.
+
+    chunk=8 keeps the S x chunk intermediate under ~40 MB per Arrow
+    batch: with web-length docs (hundreds of shingles each) and many
+    parallel Python workers, larger chunks saturate memory bandwidth
+    and the UDF stops scaling with cores (measured: 134s at 16 cores
+    with chunk=32 on 200k x ~300-token docs).
     """
     num_perm = len(a)
     out = np.full((n_segs, num_perm), np.iinfo(np.uint64).max, dtype=_U64)
@@ -116,21 +122,61 @@ def _segment_min(vals: np.ndarray, seg_ids: np.ndarray, n_segs: int, a: np.ndarr
 
 
 def _segment_simhash(vals: np.ndarray, seg_ids: np.ndarray, n_segs: int) -> np.ndarray:
-    """64-bit SimHash per segment: sign of per-bit +/-1 sums."""
+    """64-bit SimHash per segment: sign of per-bit +/-1 sums.
+
+    Memory-lean form: sum the 0/1 bits in int16 (segment sizes are
+    far below 32k shingles) and compare 2*sum > count instead of
+    materializing a +/-1 int32 matrix.
+    """
     out = np.zeros(n_segs, dtype=_U64)
     if len(vals) == 0:
         return out
-    bits = np.unpackbits(vals[:, None].view(np.uint8), axis=1).astype(np.int32)  # (S, 64)
+    bits = np.unpackbits(vals[:, None].view(np.uint8), axis=1).astype(np.int16)  # (S, 64)
     present, first_idx = np.unique(seg_ids, return_index=True)
-    sums = np.add.reduceat(bits * 2 - 1, first_idx, axis=0)  # (P, 64)
-    packed = np.packbits((sums > 0).astype(np.uint8), axis=1)  # (P, 8) bytes
+    sums = np.add.reduceat(bits, first_idx, axis=0)  # (P, 64) counts of set bits
+    seg_counts = np.diff(np.append(first_idx, len(vals)))[:, None]
+    packed = np.packbits((2 * sums > seg_counts).astype(np.uint8), axis=1)  # (P, 8)
     out[present] = packed.view(_U64).ravel()
     return out
 
 
-def make_fingerprint_udf(cfg: DedupConfig) -> Callable:
+def make_shingles_udf(cfg: DedupConfig) -> Callable:
+    """pandas UDF: text -> array<long> of DISTINCT sorted shingle hashes.
+
+    The at-scale verify path: signatures are stored for everyone, but
+    shingle sets are recomputed only for the ~1% of docs that reach
+    exact verification — serializing KBs of shingles per doc out of
+    the fingerprint pass is the single biggest Arrow cost on
+    web-length documents.
+    """
+    k = cfg.shingle_k
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def shingles(texts: pd.Series) -> pd.Series:
+        D = len(texts)
+        sh, seg, _ = _batch_shingle_hashes(texts, k)
+        if len(seg):
+            order = np.lexsort((sh, seg))
+            ss, gg = sh[order], seg[order]
+            first = np.ones(len(ss), dtype=bool)
+            first[1:] = (gg[1:] != gg[:-1]) | (ss[1:] != ss[:-1])
+            su, gu = ss[first].view(np.int64), gg[first]
+            counts = np.bincount(gu, minlength=D)
+            arrays = np.split(su, np.cumsum(counts)[:-1])
+            return pd.Series([arrays[d] if counts[d] else None for d in range(D)])
+        return pd.Series([None] * D)
+
+    return shingles
+
+
+def make_fingerprint_udf(cfg: DedupConfig, include_shingles: bool = True) -> Callable:
     """Returns a pandas UDF: text -> struct(minhash, simhash, n_shingles,
-    n_tokens, shingles)."""
+    n_tokens, shingles).
+
+    include_shingles=False keeps the schema but emits NULL shingle
+    arrays — pair it with ``verify_pairs_recompute`` (lsh.py) so exact
+    verification recomputes shingles for candidate docs only.
+    """
     k = cfg.shingle_k
     a, b = _perm_params(cfg.num_perm, cfg.seed)
 
@@ -160,7 +206,10 @@ def make_fingerprint_udf(cfg: DedupConfig) -> Callable:
 
         has = nsh_col > 0
         minhash_col = [sig_i64[d] if has[d] else None for d in range(D)]
-        shingles_col = [arrays[d] if has[d] else None for d in range(D)]
+        if include_shingles:
+            shingles_col = [arrays[d] if has[d] else None for d in range(D)]
+        else:
+            shingles_col = [None] * D
         return pd.DataFrame(
             {
                 "minhash": minhash_col,

@@ -1,10 +1,20 @@
 from deduplicator_spark.operators.exact import exact_clusters, exact_dup_pairs
+from deduplicator_spark.operators.buckets import bucket_pairs
+from deduplicator_spark.operators.filters import (
+    apply_keep_overrides,
+    clusters_report,
+    degenerate_guard,
+    exempt_filter,
+    protected_rows,
+    rename_plan,
+)
 from deduplicator_spark.operators.lsh import (
     band_explode,
     candidate_pairs,
     estimate_jaccard,
     simhash_pairs,
     verify_pairs,
+    verify_pairs_two_stage,
 )
 from deduplicator_spark.operators.components import connected_components, clusters_from_pairs
 from deduplicator_spark.operators.ranking import (
@@ -33,6 +43,14 @@ from deduplicator_spark.operators.multimodal import (
 )
 
 __all__ = [
+    "bucket_pairs",
+    "apply_keep_overrides",
+    "clusters_report",
+    "degenerate_guard",
+    "exempt_filter",
+    "protected_rows",
+    "rename_plan",
+    "verify_pairs_two_stage",
     "exact_clusters",
     "exact_dup_pairs",
     "band_explode",

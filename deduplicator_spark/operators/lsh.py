@@ -132,6 +132,33 @@ def verify_pairs(pairs: DataFrame, fp: DataFrame, cfg: DedupConfig) -> DataFrame
     )
 
 
+def verify_pairs_recompute(
+    pairs: DataFrame, docs_text: DataFrame, cfg: DedupConfig
+) -> DataFrame:
+    """Exact verify that RECOMPUTES shingle sets for candidate docs.
+
+    docs_text: (url, text).  Candidate docs (docs appearing in at
+    least one pair) are a small fraction of the corpus, so rerunning
+    the shingle UDF on them is far cheaper than serializing every
+    doc's shingle set out of the fingerprint pass.  Combine with the
+    signature-estimate prefilter for the full two-stage shape.
+    """
+    from deduplicator_spark.functions.fingerprints import make_shingles_udf
+
+    cand = (
+        pairs.select(F.col("url_a").alias("url"))
+        .unionByName(pairs.select(F.col("url_b").alias("url")))
+        .distinct()
+    )
+    sh_udf = make_shingles_udf(cfg)
+    sh = (
+        docs_text.join(cand, "url", "left_semi")
+        .select("url", sh_udf(F.col("text")).alias("shingles"))
+        .withColumn("n_shingles", F.size("shingles"))
+    )
+    return verify_pairs(pairs, sh, cfg)
+
+
 def simhash_pairs(fp: DataFrame, cfg: DedupConfig) -> DataFrame:
     """SimHash near-dup candidates within hamming distance cfg.simhash_hamming.
 

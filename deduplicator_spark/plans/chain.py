@@ -6,17 +6,17 @@ and connected-components iterations shuffle pair keys many times.  At
 64-bit ``xxhash64(url)`` surrogate ids and maps back to urls at the
 edges of the plan.
 
-Collision policy: LOUD, never silent.  ``encode_ids`` counts distinct
-ids vs distinct urls (one cheap aggregation) and raises if they
-differ.  At n=1e9 docs the collision probability is ~2.7e-2 ppm; at
-1e12 it becomes material (~3%), which is exactly when the check fires
-and the caller switches to the 128-bit variant (two-column key
-``(xxhash64(url, 0), xxhash64(url, 1))``) — ``encode_ids`` does this
-automatically on collision by falling back to a dense
-``row_number``-over-sorted-urls id (deterministic, one extra sort).
+The id is a pure column function, so in the common (collision-free)
+case attaching it is a PROJECTION — no join, no extra shuffle, no
+second checkpoint of the wide fingerprint rows.  The url->nid
+dictionary is only materialized for the final decode step and for the
+collision check.
 
-All downstream operators key on the literal column name ``url`` and
-only compare/order it, so the long id substitutes transparently.
+Collision policy: LOUD, never silent.  ``encode_ids`` counts distinct
+ids vs distinct urls (one cheap aggregation) and on collision falls
+back to dense ``row_number``-over-sorted-urls ids (deterministic, one
+global sort) — callers then attach ids via the dictionary join
+instead of the hash projection.
 """
 
 from __future__ import annotations
@@ -26,28 +26,36 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def encode_ids(docs: DataFrame, url_col: str = "url") -> DataFrame:
-    """(url, nid) dictionary with loud collision handling."""
+def encode_ids(docs: DataFrame, url_col: str = "url") -> tuple[DataFrame, bool]:
+    """Returns ((url, nid) dictionary, hash_ok).
+
+    hash_ok=True  -> nid == xxhash64(url): attach ids with a projection.
+    hash_ok=False -> collision detected: dense fallback ids, attach via join.
+    """
     urls = docs.select(F.col(url_col).alias("url")).distinct()
     ids = urls.select("url", F.xxhash64("url").alias("nid"))
     counts = ids.agg(
         F.count("*").alias("n"), F.count_distinct("nid").alias("nd")
     ).collect()[0]
-    if counts["n"] != counts["nd"]:
-        # collision: fall back to dense deterministic ids (global sort —
-        # expensive but correct; log-visible via the plan)
-        w = Window.orderBy("url")
-        ids = urls.select("url", F.row_number().over(w).cast("long").alias("nid"))
-    return ids
+    if counts["n"] == counts["nd"]:
+        return ids, True
+    w = Window.orderBy("url")
+    return urls.select("url", F.row_number().over(w).cast("long").alias("nid")), False
 
 
-def encode_fp(fp: DataFrame, dict_ids: DataFrame) -> DataFrame:
-    """fingerprints keyed by url -> same frame keyed by nid AS 'url'."""
-    return (
-        fp.join(dict_ids, "url")
-        .drop("url")
-        .withColumnRenamed("nid", "url")
-    )
+def encode_fp(fp: DataFrame, dict_ids: DataFrame, hash_ok: bool = True, url_col: str = "url") -> DataFrame:
+    """fingerprints keyed by url -> same frame keyed by nid AS 'url'.
+
+    Projection (no join) when hash_ok — the wide fingerprint rows
+    never re-shuffle just to pick up their id.
+    """
+    if hash_ok:
+        return fp.withColumn("__nid", F.xxhash64(url_col)).drop(url_col).withColumnRenamed(
+            "__nid", "url"
+        )
+    return fp.join(dict_ids.withColumnRenamed("url", url_col), url_col).drop(
+        url_col
+    ).withColumnRenamed("nid", "url")
 
 
 def decode_pairs(pairs: DataFrame, dict_ids: DataFrame) -> DataFrame:

@@ -152,12 +152,14 @@ class DedupPipeline:
 
         # Heavy middle runs on 64-bit surrogate ids (plans/chain.py):
         # pair expansion, dedup and CC shuffle 8-byte keys, not urls.
-        dict_ids = encode_ids(fingerprints).localCheckpoint()
-        # checkpoint: the encode join carries the wide fingerprint rows
-        # (signatures + shingle arrays) and feeds four consumers
-        # (bucket counts, bucket fill, verify x2) — recomputing it per
-        # consumer re-shuffles ~1 KB/doc each time
-        fp_n = encode_fp(fingerprints, dict_ids).localCheckpoint()
+        # In the common (collision-free) case attaching the id is a
+        # projection over the checkpointed fingerprints — no join, no
+        # second materialization of the wide rows.
+        dict_ids, hash_ok = encode_ids(fingerprints)
+        dict_ids = dict_ids.localCheckpoint()
+        fp_n = encode_fp(fingerprints, dict_ids, hash_ok)
+        if not hash_ok:
+            fp_n = fp_n.localCheckpoint()
 
         if self._done("near_pairs") and resume:
             near = self.spark.read.parquet(self._path("near_pairs"))

@@ -167,3 +167,23 @@ def test_clusters_match_truth_membership(fp_df, small_pages, cfg):
         .count()
     )
     assert bad == 0
+
+
+def test_verify_recompute_equals_stored(fp_df, small_pages, cfg):
+    """The lean path (no stored shingles + recompute on candidates)
+    must produce exactly the stored-shingles verify result."""
+    from deduplicator_spark.operators.lsh import verify_pairs_recompute
+
+    banded = band_explode(fp_df, cfg)
+    pairs, _ = candidate_pairs(banded, cfg)
+    stored = {
+        (r["url_a"], r["url_b"], round(r["jaccard"], 9))
+        for r in verify_pairs(pairs, fp_df, cfg).collect()
+    }
+    recomputed = {
+        (r["url_a"], r["url_b"], round(r["jaccard"], 9))
+        for r in verify_pairs_recompute(
+            pairs, small_pages.select("url", "text"), cfg
+        ).collect()
+    }
+    assert stored == recomputed and stored
