@@ -1,0 +1,53 @@
+"""Physical-plan regression guards: pushdown, pruning, broadcast.
+
+These pin the Catalyst behaviors the 100 TB design depends on — if a
+refactor breaks predicate pushdown or forces a sort-merge join where a
+broadcast belongs, these fail before any benchmark notices.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from deduplicator_spark.operators.exact import exact_clusters
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_filter_pushdown_and_column_pruning(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    q = docs.filter(F.col("lang") == "en").select("doc_id", "n_chars")
+    plan = _plan(q)
+    assert "PushedFilters" in plan and "EqualTo(lang,en)" in plan
+    # scan must read only the referenced columns, never text
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" not in read_schema
+    assert "doc_id" in read_schema and "n_chars" in read_schema
+
+
+def test_exact_clusters_broadcasts_sizes(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").withColumnRenamed(
+        "doc_id", "url"
+    )
+    plan = _plan(exact_clusters(docs))
+    assert "BroadcastHashJoin" in plan
+    # partial (map-side) aggregation before the exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_lsh_band_explode_stays_jvm(spark, small_pages, cfg):
+    """band_explode must be pure JVM expressions over the fingerprint
+    frame — no Python evaluation nodes in its incremental plan."""
+    from deduplicator_spark.functions.fingerprints import make_fingerprint_udf
+    from deduplicator_spark.operators.lsh import band_explode
+
+    fp_udf = make_fingerprint_udf(cfg)
+    fp = small_pages.select("url", fp_udf("text").alias("f")).select("url", "f.*")
+    fp = fp.localCheckpoint()  # cut off the UDF part of the plan
+    plan = _plan(band_explode(fp, cfg))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, f"banding fell back to Python: {marker}"
