@@ -57,7 +57,16 @@ def _docs_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def q_exact_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir).select("doc_id", F.md5("text").alias("content_md5"))
+    """Exact (md5) dedup over documents PLUS a deterministic planted-dup
+    slice (every 10th doc re-inserted under a shifted id) — sf0.01 has
+    no natural byte-identical dups, so without the plant this oracle
+    would pass vacuously with 0 rows (VERDICT r1 'What's wrong' #2).
+    The identical plant is applied in the DuckDB oracle SQL."""
+    base = _docs(spark, sf_dir).select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    planted = base.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    docs = base.unionByName(planted).select("doc_id", F.md5("text").alias("content_md5"))
     sizes = docs.groupBy("content_md5").agg(F.count("*").alias("cluster_size"))
     return (
         docs.join(sizes, "content_md5")
@@ -316,10 +325,16 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "exact_dup_clusters": """
+            WITH docs AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+              UNION ALL
+              SELECT CAST(doc_id AS BIGINT) + 10000000, text
+              FROM documents WHERE doc_id % 10 = 0
+            )
             SELECT doc_id, content_md5, cluster_size FROM (
               SELECT doc_id, md5(text) AS content_md5,
                      count(*) OVER (PARTITION BY md5(text)) AS cluster_size
-              FROM documents)
+              FROM docs)
             WHERE cluster_size >= 2
         """,
         "prefix_fp_clusters": """
@@ -360,7 +375,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "token_stats_by_lang": f"""
-            SELECT lang, count(*) AS n_docs, sum({_NTOK}) AS total_tokens,
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum({_NTOK}) AS BIGINT) AS total_tokens,
                    round(avg(length(text)), 4) AS avg_chars
             FROM documents GROUP BY lang
         """,

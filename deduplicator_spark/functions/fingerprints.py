@@ -124,14 +124,17 @@ def _segment_min(vals: np.ndarray, seg_ids: np.ndarray, n_segs: int, a: np.ndarr
 def _segment_simhash(vals: np.ndarray, seg_ids: np.ndarray, n_segs: int) -> np.ndarray:
     """64-bit SimHash per segment: sign of per-bit +/-1 sums.
 
-    Memory-lean form: sum the 0/1 bits in int16 (segment sizes are
-    far below 32k shingles) and compare 2*sum > count instead of
-    materializing a +/-1 int32 matrix.
+    Memory-lean form: sum the 0/1 bits and compare 2*sum > count
+    instead of materializing a +/-1 matrix.  Accumulation is int32:
+    int16 silently overflows past 32767 shingles (long web docs /
+    tok_scale bench runs) and produces a wrong SimHash with no error
+    (ADVICE r1).  reduceat's output dtype follows the input, so the
+    bit matrix itself is int32.
     """
     out = np.zeros(n_segs, dtype=_U64)
     if len(vals) == 0:
         return out
-    bits = np.unpackbits(vals[:, None].view(np.uint8), axis=1).astype(np.int16)  # (S, 64)
+    bits = np.unpackbits(vals[:, None].view(np.uint8), axis=1).astype(np.int32)  # (S, 64)
     present, first_idx = np.unique(seg_ids, return_index=True)
     sums = np.add.reduceat(bits, first_idx, axis=0)  # (P, 64) counts of set bits
     seg_counts = np.diff(np.append(first_idx, len(vals)))[:, None]

@@ -49,7 +49,11 @@ def bucket_pairs(
     overflow = counts.filter(F.col("bucket_size") > cap)
     eligible = counts.filter(F.col("bucket_size") >= 2).select(*key_cols)
 
-    ok = keyed.join(F.broadcast(eligible), key_cols, "left_semi")
+    # no explicit broadcast hint: the eligible-bucket set is unbounded
+    # at corpus scale (an explicit hint would bypass
+    # autoBroadcastJoinThreshold and OOM the driver on web corpora);
+    # AQE picks broadcast when the counts side is actually small
+    ok = keyed.join(eligible, key_cols, "left_semi")
     buckets = ok.groupBy(*key_cols).agg(
         F.sort_array(F.collect_list(url_col)).alias("members")
     )
