@@ -11,6 +11,7 @@ on both sides so value hashes compare stably.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -26,9 +27,18 @@ from deduplicator_spark.operators.ranking import with_canonical
 from deduplicator_spark.operators.series import filter_known_alts
 from deduplicator_spark.plans.pipeline import DedupPipeline
 from deduplicator_spark.sources.loaders import load_table
-from deduplicator_spark.sources.pages import synth_pages_with_truth
 
 CFG = DedupConfig()
+
+# Committed golden fixtures (tools/make_goldens.py — generated WITHOUT
+# Spark, so oracles reading them compare the engine against an
+# independent implementation).  Absolute paths: the driver's DuckDB
+# runs read_parquet() on them directly.
+GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests", "golden")
+GOLDEN_PAGES = os.path.join(GOLDEN_DIR, "pages_n500_s42.parquet")
+GOLDEN_SIMHASH = os.path.join(GOLDEN_DIR, "simhash_sf001.parquet")
+GOLDEN_ANN_SIG = os.path.join(GOLDEN_DIR, "ann_sig_sf001.parquet")
+GOLDEN_SUBSTRING = os.path.join(GOLDEN_DIR, "substring_pairs_n500.parquet")
 
 # normalized-text SQL fragment shared by the oracle queries (must mirror
 # deduplicator_spark.functions.text.normalize_text exactly)
@@ -186,8 +196,9 @@ def q_minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH pairs -> connected components -> cluster table (rows-only:
-    iterative CC is not single-statement SQL)."""
+    """LSH pairs -> connected components -> cluster table.  Oracled via
+    a DuckDB WITH RECURSIVE transitive closure over the same pair SQL
+    (iterative CC is a recursive CTE, not a single SELECT)."""
     pairs = q_minhash_near_dup_pairs(spark, sf_dir)
     edges = pairs.select(
         F.lpad(F.col("id_a").cast("string"), 10, "0").alias("url_a"),
@@ -201,8 +212,14 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash block-join candidates at hamming <= 3.  Oracled against
+    a committed golden (doc_id, simhash) table computed by an
+    independent per-doc bit-majority implementation (tools/
+    make_goldens.py) + a brute-force O(n^2) hamming join in DuckDB —
+    the pigeonhole block join must equal brute force exactly."""
     fp = _docs_fp(spark, sf_dir)
-    return simhash_pairs(fp, CFG).select(
+    pairs, _ = simhash_pairs(fp, CFG)
+    return pairs.select(
         F.col("url_a").cast("long").alias("id_a"),
         F.col("url_b").cast("long").alias("id_b"),
         "hamming",
@@ -210,15 +227,21 @@ def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH ANN pairs (cosine >= 0.3 — 441 rows at sf0.01; the
+    old 0.5 bar left 1 row, effectively unvalidated).  Oracled against
+    a committed golden signature table (independent numpy matmul) +
+    band arithmetic and list_cosine_similarity in DuckDB."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return hyperplane_lsh_pairs(emb, dim=64, min_cosine=0.5)
+    return hyperplane_lsh_pairs(emb, dim=64, min_cosine=0.3)
 
 
 def q_pipeline_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full pipeline on the deterministic synthetic pages fixture
-    (n=500, seed=42): the end-to-end flagship on the BASELINE.json
-    input_hint schema."""
-    pages = synth_pages_with_truth(spark, 500).select(
+    """Full pipeline on the committed golden pages fixture (n=500,
+    seed=42): the end-to-end flagship on the BASELINE.json input_hint
+    schema.  Oracled by a single DuckDB statement reproducing the
+    whole chain: md5 star edges + brute-force 5-gram Jaccard pairs +
+    WITH RECURSIVE connected components + the ranking window."""
+    pages = spark.read.parquet(GOLDEN_PAGES).select(
         "url", "warc_ts", "html", "text", "lang"
     )
     out = DedupPipeline(spark, CFG, work_dir=None, run_id="entry").run(pages)
@@ -227,11 +250,12 @@ def q_pipeline_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suffix-array substring pass (winnowing anchors guarantee recall
-    1.0 for matches >= min_len; rows-only: iterative numpy SA verify
-    is not single-statement SQL)."""
+    1.0 for matches >= min_len).  Oracled against a committed golden
+    pair table from an independent implementation (exact 50-gram
+    inverted index + difflib longest-match; tools/make_goldens.py)."""
     from deduplicator_spark.operators.substring import substring_pairs
 
-    pages = synth_pages_with_truth(spark, 500).select("url", "text")
+    pages = spark.read.parquet(GOLDEN_PAGES).select("url", "text")
     pairs, _ = substring_pairs(pages, CFG)
     return pairs
 
@@ -241,7 +265,7 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     quarantine semantics (decode stubbed, plumbing real)."""
     from deduplicator_spark.operators.multimodal import extract_media_features
 
-    pages = synth_pages_with_truth(spark, 200).select(
+    pages = spark.read.parquet(GOLDEN_PAGES).select(
         "url", F.lit("image").alias("media_type"), F.col("html").alias("content"),
         F.struct(
             F.lit(None).cast("int").alias("width"),
@@ -253,8 +277,9 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_alt_series_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P7 alt filter over synthetic near-dup clusters (rows-only)."""
-    df = synth_pages_with_truth(spark, 500).select(
+    """P7 alt filter over synthetic near-dup clusters, oracled by the
+    same regex cascade + self-join predicates in DuckDB SQL."""
+    df = spark.read.parquet(GOLDEN_PAGES).select(
         "url", F.col("truth_cluster_id").cast("string").alias("cluster_id")
     )
     return filter_known_alts(df).groupBy("cluster_id").agg(F.count("*").alias("kept"))
@@ -311,6 +336,151 @@ def _lang_hits_sql(words: list[str]) -> str:
         f"(len(string_split(' ' || {_NORM} || ' ', ' {w} ')) - 1)" for w in words
     ]
     return "(" + " + ".join(parts) + ")"
+
+
+def _series_case_sql() -> tuple[str, str]:
+    """(series_no_case, series_style_case) mirroring
+    operators.series.SERIES_PATTERNS for DuckDB's RE2 (which lacks the
+    lookbehind Spark's Java regex allows — pattern #10 is rewritten
+    with an explicit capture + backreference)."""
+    # (match_pattern, no_expr_or_None(means 1), style_replace(pattern, templ))
+    rows: list[tuple[str, str | None, tuple[str, str]]] = [
+        (r"_(\d+)$", r"regexp_extract(stem, '_(\d+)$', 1)", (r"_(\d+)$", "_<#>")),
+        (r"-(\d+)$", r"regexp_extract(stem, '-(\d+)$', 1)", (r"-(\d+)$", "-<#>")),
+        (r" (\d+)$", r"regexp_extract(stem, ' (\d+)$', 1)", (r" (\d+)$", " <#>")),
+        (r"\((\d+)\)$", r"regexp_extract(stem, '\((\d+)\)$', 1)", (r"\((\d+)\)$", "(<#>)")),
+        (r"_p(\d+)$", r"regexp_extract(stem, '_p(\d+)$', 1)", (r"_p(\d+)$", "_p<#>")),
+        (r"_img(\d+)$", r"regexp_extract(stem, '_img(\d+)$', 1)", (r"_img(\d+)$", "_img<#>")),
+        (r"-img(\d+)$", r"regexp_extract(stem, '-img(\d+)$', 1)", (r"-img(\d+)$", "-img<#>")),
+        (r"-alt(\d*)$", r"regexp_extract(stem, '-alt(\d*)$', 1)", (r"-alt(\d*)$", "-alt<#>")),
+        (r" edit$", None, (r" edit$", " edit<#>")),
+        (r"[A-Za-z]\d$", r"regexp_extract(stem, '[A-Za-z](\d)$', 1)", (r"([A-Za-z])(\d)$", r"\1<#>")),
+    ]
+    no_whens, style_whens = [], []
+    for pat, no_expr, (rpat, templ) in rows:
+        no = (
+            "1"
+            if no_expr is None
+            else f"(CASE WHEN {no_expr} = '' THEN 1 ELSE coalesce(TRY_CAST({no_expr} AS INTEGER), 1) END)"
+        )
+        cond = f"regexp_matches(stem, '{pat}') AND {no} <= 1000"
+        no_whens.append(f"WHEN {cond} THEN {no}")
+        style_whens.append(f"WHEN {cond} THEN regexp_replace(stem, '{rpat}', '{templ}')")
+    no_case = "CASE " + " ".join(no_whens) + " ELSE NULL END"
+    style_case = "CASE " + " ".join(style_whens) + " ELSE NULL END"
+    return no_case, style_case
+
+
+def _pipeline_actions_sql() -> str:
+    """One DuckDB statement reproducing the full pipeline on the golden
+    pages fixture: fingerprints -> (exact md5 star edges UNION
+    brute-force 5-gram-Jaccard >= 0.8 pairs) -> recursive connected
+    components (cluster_id = min url) -> the with_canonical ranking
+    window (content desc, dir depth desc, hex/punct/series name
+    signals, url tiebreak) -> keep/delete actions.
+
+    Validity: the engine's LSH path misses a true J>=0.8 pair with
+    p ~ 5e-8 (b=32, r=4) and the est-Jaccard prefilter with p ~ 1e-8,
+    so brute force and the LSH chain agree exactly at fixture scale.
+    """
+    return rf"""
+        WITH RECURSIVE pages AS (
+          SELECT url, text FROM read_parquet('{GOLDEN_PAGES}')),
+        tok AS (
+          SELECT url, md5(text) AS content_md5,
+                 length(text) AS n_chars, octet_length(encode(text)) AS byte_len,
+                 CASE WHEN length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) = 0 THEN []
+                      ELSE string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+                 END AS toks
+          FROM pages),
+        fp AS (
+          SELECT url, content_md5, n_chars, byte_len, len(toks) AS n_tokens, toks
+          FROM tok),
+        sh AS (
+          SELECT url,
+                 list_distinct([array_to_string(toks[i:i+4], ' ')
+                                for i in range(1, len(toks) - 3)]) AS shingles
+          FROM fp WHERE n_tokens >= 5),
+        near AS (
+          SELECT a.url AS url_a, b.url AS url_b
+          FROM sh a JOIN sh b ON a.url < b.url
+          WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8),
+        hubs AS (SELECT content_md5, min(url) AS hub FROM fp GROUP BY content_md5),
+        exact AS (
+          SELECT h.hub AS url_a, f.url AS url_b
+          FROM fp f JOIN hubs h USING (content_md5)
+          WHERE f.url <> h.hub),
+        edges0 AS (SELECT url_a, url_b FROM near UNION SELECT url_a, url_b FROM exact),
+        edges AS (SELECT url_a AS u, url_b AS v FROM edges0
+                  UNION SELECT url_b, url_a FROM edges0),
+        reach AS (
+          SELECT u, v FROM edges
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        lab AS (SELECT u AS url, least(u, min(v)) AS cluster_id FROM reach GROUP BY u),
+        ranked AS (
+          SELECT l.cluster_id, f.url,
+                 row_number() OVER (
+                   PARTITION BY l.cluster_id
+                   ORDER BY
+                     f.n_tokens DESC, f.n_chars DESC, f.byte_len DESC,
+                     (f.byte_len::DOUBLE / greatest(f.n_tokens::DOUBLE, 1.0)) DESC,
+                     (length(f.url) - length(regexp_extract(f.url, '[^/]*$')) - 1) DESC,
+                     CAST(regexp_matches(lower(regexp_extract(f.url, '[^/]*$')),
+                                         '^[0-9a-f]{{36}}\.') AS INTEGER) ASC,
+                     (length(regexp_extract(f.url, '[^/]*$'))
+                      - length(translate(lower(regexp_extract(f.url, '[^/]*$')), '-_ +', ''))) DESC,
+                     CAST(regexp_matches(lower(regexp_extract(f.url, '[^/]*$')),
+                                         ' \(\d+\)\.') AS INTEGER) ASC,
+                     f.url ASC) AS rn
+          FROM lab l JOIN fp f USING (url))
+        SELECT cluster_id, url,
+               CASE WHEN rn = 1 THEN 'keep' ELSE 'delete' END AS op
+        FROM ranked
+    """
+
+
+def _alt_series_filter_sql() -> str:
+    """filter_known_alts (P7 quick + smart) + kept-count per cluster,
+    with the series cascade translated pattern-by-pattern to RE2."""
+    no_case, style_case = _series_case_sql()
+    return rf"""
+        WITH m AS (
+          SELECT url, CAST(truth_cluster_id AS VARCHAR) AS cluster_id,
+                 CASE WHEN regexp_extract(url, '[^/]*$') LIKE '%.%'
+                      THEN '.' || regexp_extract(regexp_extract(url, '[^/]*$'), '([^.]*)$', 1)
+                      ELSE '' END AS ext
+          FROM read_parquet('{GOLDEN_PAGES}')),
+        s AS (
+          SELECT url, cluster_id,
+                 substr(url, 1, length(url) - length(ext)) AS stem
+          FROM m),
+        enr AS (
+          SELECT url, cluster_id, stem,
+                 {no_case} AS series_no,
+                 {style_case} AS series_style,
+                 regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                   stem, '[-_ ]\d+$', ''), '[-_ ]alt$', ''), '[-_ ]edit$', ''),
+                   ' otm$', ''), ' otn$', '') AS base_stem,
+                 substr(stem, 1, greatest(length(stem) - 12, 0)) AS stub
+          FROM s),
+        alts AS (
+          SELECT DISTINCT a.cluster_id, a.url
+          FROM enr a JOIN enr b
+            ON a.cluster_id = b.cluster_id AND a.stem <> b.stem
+           AND ( (starts_with(b.stem, a.stub)
+                  AND length(b.stem) <= length(a.stem)
+                  AND length(b.stem) > length(a.stem) - 12)
+              OR (a.series_style IS NOT NULL
+                  AND b.series_style = a.series_style
+                  AND b.series_no = a.series_no - 1)
+              OR (b.stem = a.base_stem AND a.base_stem <> a.stem) )),
+        kept AS (
+          SELECT s.cluster_id, s.url FROM s
+          ANTI JOIN alts ON s.cluster_id = alts.cluster_id AND s.url = alts.url)
+        SELECT cluster_id, count(*) AS kept FROM kept GROUP BY cluster_id
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -410,4 +580,76 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
                   / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
         """,
+        # --- the seven formerly-no_oracle queries (VERDICT r1 #1) ---
+        "near_dup_clusters": r"""
+            WITH RECURSIVE t AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+              FROM documents),
+            s AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(toks[i:i+4], ' ')
+                                    for i in range(1, len(toks) - 3)]) AS shingles
+              FROM t WHERE len(toks) >= 5),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM s a JOIN s b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                    / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8),
+            edges AS (
+              SELECT id_a AS u, id_b AS v FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs),
+            reach AS (
+              SELECT u, v FROM edges
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+            lab AS (
+              SELECT u AS doc_id, least(u, min(v)) AS cluster_min_doc_id
+              FROM reach GROUP BY u),
+            sizes AS (
+              SELECT cluster_min_doc_id, count(*) AS cluster_size
+              FROM lab GROUP BY cluster_min_doc_id)
+            SELECT CAST(l.doc_id AS BIGINT) AS doc_id,
+                   CAST(l.cluster_min_doc_id AS BIGINT) AS cluster_min_doc_id,
+                   s2.cluster_size
+            FROM lab l JOIN sizes s2 USING (cluster_min_doc_id)
+        """,
+        "simhash_candidates": f"""
+            WITH fp AS (SELECT * FROM read_parquet('{GOLDEN_SIMHASH}'))
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+            FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
+        "ann_lsh_pairs": f"""
+            WITH sig AS (SELECT * FROM read_parquet('{GOLDEN_ANN_SIG}')),
+            bands AS (
+              SELECT vec_id, i AS band_idx, (sig >> (4 * i)) & 15 AS band_val
+              FROM sig, (SELECT unnest([0, 1, 2, 3]) AS i)),
+            cand AS (
+              SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM bands a JOIN bands b
+                ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+               AND a.vec_id < b.vec_id)
+            SELECT c.id_a, c.id_b,
+                   round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                                eb.embedding::DOUBLE[]), 5) AS cosine
+            FROM cand c
+            JOIN embeddings ea ON ea.vec_id = c.id_a
+            JOIN embeddings eb ON eb.vec_id = c.id_b
+            WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                               eb.embedding::DOUBLE[]), 5) >= 0.3
+        """,
+        "substring_pairs": f"""
+            SELECT url_a, url_b, matched_len FROM read_parquet('{GOLDEN_SUBSTRING}')
+        """,
+        "media_features": f"""
+            SELECT url, 'image' AS media_type,
+                   CAST(octet_length(html) AS BIGINT) AS byte_len,
+                   CASE WHEN octet_length(html) = 0 THEN NULL ELSE 1 END AS n_frames
+            FROM read_parquet('{GOLDEN_PAGES}')
+        """,
+        "pipeline_actions": _pipeline_actions_sql(),
+        "alt_series_filter": _alt_series_filter_sql(),
     }

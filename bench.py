@@ -100,6 +100,35 @@ def main() -> None:
 
     n_clustered = timed("q1_minhash_lsh_dedup", q1)
 
+    # q1b: the at-scale verify shape — NO stored shingle arrays
+    # (signatures only; exact verify recomputes shingles for candidate
+    # docs).  Identical clusters to q1 (equivalence-tested); on
+    # realistic sparse-dup corpora with web-length docs this shape
+    # avoids serializing KBs of shingles per doc.
+    def q1b():
+        from deduplicator_spark.operators.lsh import verify_pairs_two_stage_recompute
+        from deduplicator_spark.plans.chain import decode_clusters, encode_fp, encode_ids
+
+        fp_udf_lean = make_fingerprint_udf(CFG, include_shingles=False)
+        pages = spark.read.parquet(corpus).repartition(cpus * 3)
+        fp = pages.select("url", "text", fp_udf_lean(F.col("text")).alias("f")).select(
+            "url", "text", "f.*"
+        )
+        fp = fp.localCheckpoint()
+        dict_ids, hash_ok = encode_ids(fp)
+        dict_ids = dict_ids.localCheckpoint()
+        fp_n = encode_fp(fp, dict_ids, hash_ok)
+        banded = band_explode(fp_n, CFG)
+        pairs, _ = candidate_pairs(banded, CFG)
+        verified = verify_pairs_two_stage_recompute(
+            pairs, fp_n, fp_n.select("url", "text"), CFG
+        )
+        clusters = decode_clusters(clusters_from_pairs(verified, min_size=2), dict_ids)
+        return clusters.count()
+
+    n_clustered_b = timed("q1b_lsh_dedup_recompute", q1b)
+    assert n_clustered_b == n_clustered, (n_clustered_b, n_clustered)
+
     # q2: exact dedup (md5 groupBy) over the same corpus
     def q2():
         return exact_clusters(spark.read.parquet(corpus)).count()

@@ -15,6 +15,7 @@ from deduplicator_spark.operators.lsh import (
     simhash_pairs,
     verify_pairs,
     verify_pairs_two_stage,
+    verify_pairs_two_stage_recompute,
 )
 from deduplicator_spark.operators.components import connected_components, clusters_from_pairs
 from deduplicator_spark.operators.ranking import (
@@ -51,6 +52,7 @@ __all__ = [
     "protected_rows",
     "rename_plan",
     "verify_pairs_two_stage",
+    "verify_pairs_two_stage_recompute",
     "exact_clusters",
     "exact_dup_pairs",
     "band_explode",

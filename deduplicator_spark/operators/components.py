@@ -5,16 +5,24 @@ The reference's clusters are implicit — a cluster IS a dict key
 with different partners, so cluster formation becomes a graph problem:
 connected components over the verified-pair edge set.
 
-Implemented as iterative hash-to-min label propagation (the
-GraphFrames-style DataFrame loop SURVEY.md §4 calls for):
+Implemented as iterative hash-to-min label propagation WITH pointer
+doubling (the GraphFrames-style DataFrame loop SURVEY.md §4 calls for,
+upgraded per VERDICT/ADVICE r1 to the O(log n)-round family of
+Kiveris et al.'s large-star/small-star):
 
-    label(v) <- min(label(v), min over neighbors u of label(u))
+    propagate:  label(v) <- min(label(v), min over neighbors u of label(u))
+    shortcut:   label(v) <- label(label(v))
 
-until a fixpoint.  Each iteration is one shuffle join + one
-aggregation; ``localCheckpoint()`` truncates the lineage so the plan
-doesn't grow exponentially.  Duplicate clusters are near-cliques, so
-convergence is 2-4 iterations in practice; ``max_iter`` bounds
-pathological chains.
+until a fixpoint.  Plain one-hop propagation needs O(diameter) rounds
+— the sampled-ring fallback for over-cap LSH buckets
+(operators/buckets.py, ring_k=8) produces components with diameter in
+the hundreds, which silently truncated at the old max_iter=25.  The
+shortcut step halves the label-forest depth every round, so rounds are
+O(log diameter): a 2000-member ring converges in <= 8 rounds.
+
+Non-convergence is LOUD: if ``max_iter`` is exhausted with labels
+still moving, a RuntimeError is raised — wrong silent cluster ids were
+VERDICT r1 "What's wrong" #3.
 
 Cluster ids are the lexicographic min url of the component —
 deterministic, stable under input permutation, and meaningful for
@@ -35,7 +43,9 @@ def connected_components(
 ) -> DataFrame:
     """edges(src, dst) -> (url, cluster_id) for every url in an edge.
 
-    cluster_id = min url (string) in the component.
+    cluster_id = min url (string) in the component.  Raises
+    RuntimeError if ``max_iter`` rounds do not reach the fixpoint
+    (never returns silently-wrong labels).
     """
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -50,15 +60,15 @@ def connected_components(
         .localCheckpoint()
     )
 
+    n_changed = 0
     for _ in range(max_iter):
+        # 1) one-hop neighbor-min propagation
         neighbor_min = (
             sym.join(labels, sym["u"] == labels["url"])
             .groupBy(F.col("v").alias("url2"))
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        # lazy checkpoint: the convergence count below is the one
-        # materializing action per iteration (eager would add a job)
-        new_labels = (
+        propagated = (
             labels.join(neighbor_min, labels["url"] == F.col("url2"), "left")
             .select(
                 "url",
@@ -67,11 +77,34 @@ def connected_components(
                 ),
                 (F.col("nbr_min") < F.col("cluster_id")).alias("changed"),
             )
+        ).localCheckpoint(eager=False)  # referenced twice below; compute once
+        # 2) pointer doubling: follow the label one step
+        #    (label(x) <= x invariantly, so the join only improves labels)
+        parents = propagated.select(
+            F.col("url").alias("p_url"), F.col("cluster_id").alias("p_label")
+        )
+        # lazy checkpoint: the convergence count below is the one
+        # materializing action per iteration (eager would add a job)
+        new_labels = (
+            propagated.join(parents, propagated["cluster_id"] == parents["p_url"], "left")
+            .select(
+                "url",
+                F.coalesce("p_label", "cluster_id").alias("cluster_id"),
+                (
+                    F.col("changed") | (F.col("p_label") < F.col("cluster_id"))
+                ).alias("changed"),
+            )
         ).localCheckpoint(eager=False)
         n_changed = new_labels.filter(F.col("changed")).count()
         labels = new_labels.drop("changed")
         if n_changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({n_changed} labels still moving) — raise max_iter; results "
+            "would be silently wrong cluster assignments"
+        )
     return labels
 
 

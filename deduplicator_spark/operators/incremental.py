@@ -64,8 +64,51 @@ def changed_fingerprints(fingerprints: DataFrame, recomputed: DataFrame) -> Data
     return old.join(new, "url").filter(F.col("old_md5") != F.col("new_md5"))
 
 
-def apply_journal(fingerprints: DataFrame, journal: DataFrame) -> DataFrame:
-    """Batch-apply an actions journal: rows with op='removed' are
-    deleted from the index (dupedb.py:134-143)."""
-    removed = journal.filter(F.col("op") == "removed").select("url")
-    return fingerprints.join(removed, "url", "left_anti")
+def apply_journal(
+    fingerprints: DataFrame,
+    journal: DataFrame,
+    current_pages: DataFrame | None = None,
+) -> DataFrame:
+    """Batch-apply an actions journal (dupedb.py:129-143).
+
+    - op='removed': the row leaves the index.  If the journal carries
+      the expected hash (a ``content_md5`` column), only the row with
+      that exact (url, hash) is removed — the reference removes the
+      path from the given hash's entry only (dupedb.py:136-140).
+    - op='validate': replay of validateHash (dupedb.py:142-143,
+      413-438) against ``current_pages(url, text)``: vanished urls
+      drop out of the index; urls whose recomputed hash moved are
+      rewritten in place; matching rows pass through.
+
+    ``current_pages`` is required when the journal contains validate
+    entries (the reference re-reads the file; we re-read the table).
+    """
+    removed = journal.filter(F.col("op") == "removed")
+    keys = (
+        ["url", "content_md5"]
+        if "content_md5" in removed.columns and "content_md5" in fingerprints.columns
+        else ["url"]
+    )
+    out = fingerprints.join(removed.select(*keys), keys, "left_anti")
+
+    val = journal.filter(F.col("op") == "validate").select("url").distinct()
+    if current_pages is None:
+        if val.limit(1).count() > 0:
+            raise ValueError(
+                "journal contains op='validate' entries; pass current_pages "
+                "so the hashes can be recomputed (dupedb.py:423)"
+            )
+        return out
+    # vanished urls: validate requested but the doc no longer exists
+    vanished = val.join(current_pages.select("url"), "url", "left_anti")
+    out = out.join(vanished, "url", "left_anti")
+    # moved hashes: rewrite content_md5 in place (same-row MERGE)
+    recomputed = (
+        current_pages.join(val, "url", "left_semi")
+        .select("url", F.md5("text").alias("_new_md5"))
+    )
+    return (
+        out.join(recomputed, "url", "left")
+        .withColumn("content_md5", F.coalesce("_new_md5", "content_md5"))
+        .drop("_new_md5")
+    )

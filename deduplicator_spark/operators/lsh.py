@@ -159,47 +159,68 @@ def verify_pairs_recompute(
     return verify_pairs(pairs, sh, cfg)
 
 
-def simhash_pairs(fp: DataFrame, cfg: DedupConfig) -> DataFrame:
+def verify_pairs_two_stage_recompute(
+    pairs: DataFrame, fp: DataFrame, docs_text: DataFrame, cfg: DedupConfig
+) -> DataFrame:
+    """The at-scale verify shape: signature-estimate prefilter (fixed
+    512-byte signatures only), then exact verify that RECOMPUTES
+    shingles for the surviving candidate docs from ``docs_text``.
+
+    Equivalent output to ``verify_pairs_two_stage`` (tested), without
+    ever storing or shuffling per-doc shingle arrays — on a realistic
+    sparse-dup web corpus the candidates are ~1% of docs, so the
+    second shingle pass is far cheaper than checkpointing KBs of
+    shingles for every doc (VERDICT r1 perf finding #5).
+    """
+    est = estimate_jaccard(pairs, fp, cfg)
+    survivors = est.filter(F.col("est_jaccard") >= cfg.est_jaccard_prefilter).select(
+        "url_a", "url_b"
+    )
+    return verify_pairs_recompute(survivors, docs_text, cfg)
+
+
+def simhash_pairs(
+    fp: DataFrame, cfg: DedupConfig, max_bucket: int | None = None
+) -> tuple[DataFrame, DataFrame]:
     """SimHash near-dup candidates within hamming distance cfg.simhash_hamming.
 
     Uses the classic block trick: split the 64-bit simhash into
     (hamming+1) blocks; any pair within distance d agrees exactly on
     at least one block (pigeonhole) — an equi-join per block, unioned.
     Verification: JVM-side bit_count(xor) <= d.
+
+    The block buckets go through the same skew-shaped ``bucket_pairs``
+    expansion as the LSH band join (VERDICT r1: the raw block
+    self-join was quadratic in the largest identical-simhash cluster —
+    real web boilerplate makes those clusters 10^5-member).  Only ids
+    cross the bucket join; simhashes are re-attached afterwards for
+    the hamming verify.  Returns (pairs(url_a, url_b, hamming),
+    overflow(block_idx, block_val, bucket_size)).
     """
     d = cfg.simhash_hamming
     nblocks = d + 1
     width = 64 // nblocks
     s = fp.filter(F.col("simhash").isNotNull()).select("url", "simhash")
-    blocks = []
+    block_vals = []
     for i in range(nblocks):
         shift = i * width
         w = width if i < nblocks - 1 else 64 - shift
         mask = (1 << w) - 1
-        block = F.shiftrightunsigned(F.col("simhash"), shift).bitwiseAND(F.lit(mask))
-        blocks.append(s.select("url", "simhash", F.lit(i).alias("block_idx"), block.alias("block_val")))
-    exploded = blocks[0]
-    for b_df in blocks[1:]:
-        exploded = exploded.unionByName(b_df)
-    a, b = exploded.alias("a"), exploded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.block_idx") == F.col("b.block_idx"))
-            & (F.col("a.block_val") == F.col("b.block_val"))
-            & (F.col("a.url") < F.col("b.url")),
+        block_vals.append(
+            F.shiftrightunsigned(F.col("simhash"), shift).bitwiseAND(F.lit(mask))
         )
-        .select(
-            F.col("a.url").alias("url_a"),
-            F.col("b.url").alias("url_b"),
-            F.col("a.simhash").alias("sim_a"),
-            F.col("b.simhash").alias("sim_b"),
-        )
-        .dropDuplicates(["url_a", "url_b"])
+    blocked = s.select(
+        "url", F.posexplode(F.array(*block_vals)).alias("block_idx", "block_val")
+    )
+    cand, overflow = bucket_pairs(blocked, ["block_idx", "block_val"], max_bucket or cfg.max_band_bucket)
+    p = (
+        cand.join(s.withColumnsRenamed({"url": "url_a", "simhash": "sim_a"}), "url_a")
+        .join(s.withColumnsRenamed({"url": "url_b", "simhash": "sim_b"}), "url_b")
     )
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    return (
-        cand.withColumn("hamming", hamming)
+    pairs = (
+        p.withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= d)
         .select("url_a", "url_b", "hamming")
     )
+    return pairs, overflow

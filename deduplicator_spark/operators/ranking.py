@@ -170,6 +170,9 @@ def super_state(
         F.min_by(member, F.struct("dr", "url")).alias("best_dir"),
         F.min_by(member, F.struct("nr", "url")).alias("best_name"),
         F.count("*").alias("cluster_size"),
+        # bounded sample for the per-member explanation lines: never
+        # collect an unbounded mega-cluster onto one row
+        F.slice(F.sort_array(F.collect_list("url")), 1, 11).alias("member_sample"),
     )
 
     # Tie-break toward best content (dedupc.py:508-515): if the best
@@ -188,7 +191,10 @@ def super_state(
     planned = g.select(
         "cluster_id",
         "cluster_size",
+        "member_sample",
         F.col("best_content.url").alias("keep_url"),
+        dir_src["url"].alias("dir_src_url"),
+        name_src["url"].alias("name_src_url"),
         F.concat(
             dir_src["dirp"], F.lit("/"), name_src["stem"], F.col("best_content.ext")
         ).alias("dest_path"),
@@ -211,18 +217,45 @@ def super_state(
         ),
     )
 
+    # R8 rich explanation (dedupc.py:99-106, 436-470, 532-557): the
+    # sort-axes header, the move/keep marks ('> dest', '^ moved-from',
+    # '+ kept in place'), the provenance of the chosen dir and name,
+    # and one '- url' line per (sampled) deletion.  All built from
+    # already-aggregated columns — no extra shuffle.
+    needs_move = F.col("keep_url") != F.col("dest_path")
+    header = F.lit(
+        "sort: content(-tokens, -chars, -bytes, -density), "
+        "dir(-good, +bad, -depth), name(+hex, -good, +bad, -punct, +series)"
+    )
+    move_part = F.when(
+        needs_move,
+        F.concat(F.lit("\n\t> "), F.col("dest_path"), F.lit("\n\t^ "), F.col("keep_url")),
+    ).otherwise(F.concat(F.lit("\n\t+ "), F.col("keep_url")))
+    provenance = F.concat(
+        F.lit("\n\tdir from "),
+        F.col("dir_src_url"),
+        F.lit("\n\tname from "),
+        F.col("name_src_url"),
+    )
+    deletions = F.aggregate(
+        F.filter(F.col("member_sample"), lambda u: u != F.col("keep_url")),
+        F.lit(""),
+        lambda acc, u: F.concat(acc, F.lit("\n\t- "), u),
+    )
+    truncated = F.when(
+        F.col("cluster_size") > F.size("member_sample"),
+        F.format_string(
+            "\n\t- ... %d more", F.col("cluster_size") - F.size("member_sample")
+        ),
+    ).otherwise(F.lit(""))
+
     return deduped.select(
         "cluster_id",
         "keep_url",
         "dest_path",
-        (F.col("keep_url") != F.col("dest_path")).alias("needs_move"),
+        needs_move.alias("needs_move"),
         (F.col("cluster_size") - 1).alias("n_deletions"),
-        F.concat_ws(
-            " ",
-            F.lit("keep"),
-            F.col("keep_url"),
-            F.when(F.col("keep_url") != F.col("dest_path"), F.concat(F.lit("> "), F.col("dest_path"))).otherwise(F.lit("+ in place")),
-        ).alias("explain"),
+        F.concat(header, move_part, provenance, deletions, truncated).alias("explain"),
     )
 
 

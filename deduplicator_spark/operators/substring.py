@@ -151,13 +151,22 @@ def make_winnow_udf(cfg: DedupConfig):
 # the operator
 # --------------------------------------------------------------------------
 
-VERIFY_SCHEMA = T.StructType(
-    [
-        T.StructField("url_a", T.StringType(), False),
-        T.StructField("url_b", T.StringType(), False),
-        T.StructField("matched_len", T.IntegerType(), False),
-    ]
-)
+def _verify_schema(url_type: T.DataType) -> T.StructType:
+    """Pair schema following the INPUT url type: the pipeline calls
+    this operator on long surrogate nids, direct callers on url
+    strings — a fixed StringType schema made the mapInPandas Arrow
+    serialization fail on long keys (ADVICE r1, high)."""
+    return T.StructType(
+        [
+            T.StructField("url_a", url_type, False),
+            T.StructField("url_b", url_type, False),
+            T.StructField("matched_len", T.IntegerType(), False),
+        ]
+    )
+
+
+#: kept for import compatibility (string-keyed callers)
+VERIFY_SCHEMA = _verify_schema(T.StringType())
 
 
 def substring_pairs(
@@ -202,5 +211,7 @@ def substring_pairs(
             if rows:
                 yield pd.DataFrame(rows, columns=["url_a", "url_b", "matched_len"])
 
-    verified = joined.mapInPandas(verify, schema=VERIFY_SCHEMA)
+    verified = joined.mapInPandas(
+        verify, schema=_verify_schema(pages.schema["url"].dataType)
+    )
     return verified, overflow

@@ -37,6 +37,7 @@ from deduplicator_spark.operators.lsh import (
     band_explode,
     candidate_pairs,
     verify_pairs_two_stage,
+    verify_pairs_two_stage_recompute,
 )
 from deduplicator_spark.operators.substring import substring_pairs
 from deduplicator_spark.plans.chain import decode_clusters, decode_pairs, encode_fp, encode_ids
@@ -65,13 +66,29 @@ class DedupPipeline:
         self.work_dir = work_dir
         self.run_id = run_id
         self.metrics: list[StageMetric] = []
+        # set per-run: (input signature, verify-shape marker) — both key
+        # the checkpoint namespace so resuming against DIFFERENT input
+        # data or a different verify mode can never reload stale stage
+        # outputs (ADVICE r1: checkpoints were keyed by config only)
+        self._run_key = ""
 
     # --- checkpoint plumbing -------------------------------------------------
+
+    def _input_signature(self, pages: DataFrame) -> str:
+        """Cheap order-insensitive identity of the input: row count +
+        xor of url hashes (one narrow scan, overflow-free under ANSI
+        mode; runs only when a work_dir is configured)."""
+        row = pages.agg(
+            F.count("*").alias("n"), F.expr("bit_xor(xxhash64(url))").alias("h")
+        ).collect()[0]
+        return f"n{row['n']}-h{(row['h'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}"
 
     def _path(self, stage: str) -> str | None:
         if not self.work_dir:
             return None
-        return os.path.join(self.work_dir, f"cfg={self.cfg.config_id}", stage)
+        return os.path.join(
+            self.work_dir, f"cfg={self.cfg.config_id}", self._run_key, stage
+        )
 
     def _done(self, stage: str) -> bool:
         p = self._path(stage)
@@ -128,9 +145,30 @@ class DedupPipeline:
         resume: bool = True,
         min_cluster_size: int = 2,
         include_substring: bool = False,
+        store_shingles: bool = True,
+        extract_text_from_html: bool = False,
     ) -> dict[str, DataFrame]:
+        """``store_shingles=False`` selects the at-scale verify shape:
+        the fingerprint pass stores NO shingle arrays (only the fixed
+        512-byte MinHash signature) and exact verification recomputes
+        shingles for candidate docs only — on a sparse-dup web corpus
+        that removes the dominant Arrow/checkpoint cost (KBs/doc).
+        Identical output either way (tested).
+
+        ``extract_text_from_html=True`` derives the ``text`` column
+        from the raw ``html`` binary via the S4 decode source
+        (sources/extract.py) instead of trusting an upstream extractor.
+        """
         cfg = self.cfg
-        fp_udf = make_fingerprint_udf(cfg)
+        if extract_text_from_html:
+            from deduplicator_spark.sources.extract import extract_text
+
+            pages = pages.withColumn("text", extract_text(F.col("html")))
+        if self.work_dir:
+            self._run_key = self._input_signature(pages) + (
+                "" if store_shingles else ".nosh"
+            )
+        fp_udf = make_fingerprint_udf(cfg, include_shingles=store_shingles)
 
         fingerprints = self._checkpoint(
             "fingerprints",
@@ -168,7 +206,15 @@ class DedupPipeline:
         else:
             banded = band_explode(fp_n, cfg)
             pairs, overflow = candidate_pairs(banded, cfg)
-            near = verify_pairs_two_stage(pairs, fp_n, cfg)
+            if store_shingles:
+                near = verify_pairs_two_stage(pairs, fp_n, cfg)
+            else:
+                pages_text_n = encode_fp(
+                    pages.select("url", "text"), dict_ids, hash_ok
+                )
+                near = verify_pairs_two_stage_recompute(
+                    pairs, fp_n, pages_text_n, cfg
+                )
             near = self._checkpoint("near_pairs", near, resume=False)
             if self.work_dir is not None and overflow is not None:
                 overflow.write.mode("overwrite").parquet(self._path("overflow_buckets"))

@@ -6,6 +6,7 @@ from deduplicator_spark.sources.pages import (
     synth_truth,
 )
 from deduplicator_spark.sources.loaders import load_table, load_documents_as_pages
+from deduplicator_spark.sources.extract import extract_text
 
 __all__ = [
     "PAGES_SCHEMA",
@@ -15,4 +16,5 @@ __all__ = [
     "synth_truth",
     "load_table",
     "load_documents_as_pages",
+    "extract_text",
 ]

@@ -92,23 +92,39 @@ class IncrementalDedup:
         ).dropDuplicates(["url_a", "url_b"])
         verified = verify_pairs(fresh, all_fp, cfg)
 
-        state_edges = self._read_state("edges", "url_a string, url_b string")
-        edges = state_edges.unionByName(verified.select("url_a", "url_b")).dropDuplicates()
+        # commit state APPEND-ONLY (VERDICT r1 "What's wrong" #6: the
+        # old overwrite-with-union rewrote the ENTIRE fingerprint state
+        # every micro-batch — O(corpus) per batch, contradicting the
+        # O(new docs) design).  Appended rows are disjoint by
+        # construction: new_fp is anti-joined against state on url, and
+        # every fresh pair touches >= 1 new url so it cannot already be
+        # in the edge state.  Parquet append adds uniquely-named part
+        # files; existing files are never touched (tested).
+        verified.select("url_a", "url_b").write.mode("append").parquet(
+            self._state_path("edges")
+        )
+        new_fp.write.mode("append").parquet(self._state_path("fingerprints"))
 
-        # commit state (overwrite-with-union is the copy-on-write MERGE)
-        edges.write.mode("overwrite").parquet(self._state_path("edges.tmp"))
-        all_fp.write.mode("overwrite").parquet(self._state_path("fingerprints.tmp"))
-        for name in ("edges", "fingerprints"):
-            final = self._state_path(name)
-            tmp = self._state_path(f"{name}.tmp")
-            swap = self._state_path(f"{name}.old")
-            if os.path.exists(final):
-                os.rename(final, swap)
-            os.rename(tmp, final)
-            if os.path.exists(swap):
-                import shutil
+    def compact(self, name: str = "fingerprints") -> None:
+        """Optional maintenance: rewrite a state table into few files
+        (append-only state accumulates one file set per micro-batch;
+        the Iceberg analog is a compaction/rewrite-data-files job).
+        Not called by process_batch — scheduling is the operator's
+        choice, off the ingest hot path."""
+        p = self._state_path(name)
+        if not os.path.exists(os.path.join(p, "_SUCCESS")):
+            return
+        df = self.spark.read.parquet(p).localCheckpoint()  # detach from files
+        tmp = self._state_path(f"{name}.compact")
+        df.coalesce(max(1, self.spark.sparkContext.defaultParallelism // 4)).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        import shutil
 
-                shutil.rmtree(swap)
+        old = self._state_path(f"{name}.old")
+        os.rename(p, old)
+        os.rename(tmp, p)
+        shutil.rmtree(old)
 
     def clusters(self, min_size: int = 2) -> DataFrame:
         edges = self._read_state("edges", "url_a string, url_b string")

@@ -49,6 +49,27 @@ def test_over_cap_ring_sampling(spark):
     assert len(ov) == 1 and ov[0]["bucket_size"] == 40
 
 
+def test_simhash_mega_cluster_is_capped(spark, cfg):
+    """A 5k-member identical-simhash cluster must produce a bounded
+    pair count plus an overflow audit, not a 12.5M-pair clique
+    (VERDICT r1 'What's wrong' #4)."""
+    from deduplicator_spark.operators.lsh import simhash_pairs
+
+    n = 5000
+    fp = spark.range(n).select(
+        F.format_string("u%05d", F.col("id")).alias("url"),
+        F.lit(0x1234_5678_9ABC_DEF0).alias("simhash"),
+    )
+    pairs, overflow = simhash_pairs(fp, cfg, max_bucket=500)
+    n_pairs = pairs.count()
+    # sampled ring: <= ring_k * n edges, far below the 12.5M clique
+    assert 0 < n_pairs <= 8 * n
+    ov = overflow.collect()
+    assert len(ov) >= 1 and all(o["bucket_size"] == n for o in ov)
+    # all surviving pairs are true (hamming 0)
+    assert pairs.filter(F.col("hamming") != 0).count() == 0
+
+
 def test_ring_keeps_bucket_connected(spark):
     """Union-find over the ring edges spans the whole bucket."""
     members = [f"m{i:02d}" for i in range(25)]

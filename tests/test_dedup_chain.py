@@ -119,7 +119,7 @@ def test_simhash_block_join_mechanism(spark, cfg):
         [(u, None, signed(s)) for u, s in rows],
         "url string, minhash array<bigint>, simhash bigint",
     )
-    got = {(r["url_a"], r["url_b"]): r["hamming"] for r in simhash_pairs(fp, cfg).collect()}
+    got = {(r["url_a"], r["url_b"]): r["hamming"] for r in simhash_pairs(fp, cfg)[0].collect()}
     assert set(got) == {("u0", "u1"), ("u0", "u2"), ("u1", "u2")}
     assert got[("u0", "u1")] == 1 and got[("u0", "u2")] == 3
 

@@ -70,6 +70,30 @@ def test_minhash_estimates_jaccard(cfg):
     assert abs(est_j - exact_j) < 0.12  # ~3 sigma at 128 perms
 
 
+def test_simhash_no_overflow_on_huge_docs():
+    """Docs with >= 2^15 shingles take the int32 accumulator path and
+    must agree with a naive per-bit majority (ADVICE r1: int16
+    silently overflowed)."""
+    from deduplicator_spark.functions.fingerprints import _segment_simhash
+
+    rng = np.random.Generator(np.random.PCG64(7))
+
+    def naive(vals):
+        n, out = len(vals), np.uint64(0)
+        for i in range(64):
+            cnt = int(((vals >> np.uint64(i)) & np.uint64(1)).sum())
+            if 2 * cnt > n:
+                out |= np.uint64(1) << np.uint64(i)
+        return out
+
+    small = rng.integers(0, 2**63, 500, dtype=np.uint64)
+    huge = rng.integers(0, 2**63, 40_000, dtype=np.uint64)  # > 2^15
+    vals = np.concatenate([small, huge])
+    segs = np.concatenate([np.zeros(500, np.int64), np.ones(40_000, np.int64)])
+    got = _segment_simhash(vals, segs, 2)
+    assert got[0] == naive(small) and got[1] == naive(huge)
+
+
 def test_fingerprint_batch_boundary_independence(spark, cfg):
     """Same text must hash identically regardless of batch packing."""
     fp = make_fingerprint_udf(cfg)

@@ -50,6 +50,36 @@ def test_incremental_skips_known(spark, small_pages, cfg, tmp_path):
     assert fp1 == fp2
 
 
+def test_state_commit_is_append_only(spark, small_pages, cfg, tmp_path):
+    """Batch N+1 must not rewrite batch N's state files (VERDICT r1:
+    the old full-state overwrite was O(corpus) per micro-batch)."""
+    import os
+
+    def _files(p):
+        return {
+            f: os.path.getmtime(os.path.join(p, f))
+            for f in os.listdir(p)
+            if f.endswith(".parquet")
+        }
+
+    pages = small_pages.select("url", "text").cache()
+    inc = IncrementalDedup(spark, cfg, str(tmp_path / "state3"))
+    inc.process_batch(pages.filter(F.crc32("url") % 2 == 0))
+    fp_dir = str(tmp_path / "state3" / "fingerprints")
+    before = _files(fp_dir)
+    assert before
+    inc.process_batch(pages.filter(F.crc32("url") % 2 == 1))
+    after = _files(fp_dir)
+    # every batch-1 file still present with the same mtime; new files added
+    assert set(before) <= set(after)
+    assert all(after[f] == m for f, m in before.items())
+    assert len(after) > len(before)
+    # compaction is available as an explicit maintenance op
+    n = spark.read.parquet(fp_dir).count()
+    inc.compact("fingerprints")
+    assert spark.read.parquet(fp_dir).count() == n
+
+
 def test_streaming_foreachbatch(spark, small_pages, cfg, tmp_path):
     src = str(tmp_path / "stream_src")
     pages = small_pages.select("url", "text")
@@ -86,3 +116,45 @@ def test_maintenance_join_ops(spark):
 
     journal = spark.createDataFrame([("removed", "u1")], "op string, url string")
     assert {r["url"] for r in apply_journal(fp, journal).collect()} == {"u2", "u3"}
+
+
+def test_apply_journal_validate_replay(spark):
+    """validateHash replay (dupedb.py:413-438): vanished urls drop,
+    moved hashes rewrite in place, matching rows pass through, and
+    hash-qualified removals only hit the exact (url, hash) row."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    fp = spark.createDataFrame(
+        [("u1", "stale"), ("u2", "gone"), ("u3", "h3"), ("u4", "h4")],
+        "url string, content_md5 string",
+    )
+    pages = spark.createDataFrame(
+        [("u1", "alpha"), ("u3", "gamma"), ("u4", "delta")], "url string, text string"
+    )
+    h = {r["url"]: r["h"] for r in pages.select("url", F.md5("text").alias("h")).collect()}
+    journal = spark.createDataFrame(
+        [("validate", "u1"), ("validate", "u2"), ("validate", "u3")],
+        "op string, url string",
+    )
+    # u3's stored hash is made correct so it must pass through untouched
+    fp_ok = fp.withColumn(
+        "content_md5",
+        F.when(F.col("url") == "u3", F.lit(h["u3"])).otherwise(F.col("content_md5")),
+    )
+    got = {r["url"]: r["content_md5"] for r in apply_journal(fp_ok, journal, pages).collect()}
+    assert got == {"u1": h["u1"], "u3": h["u3"], "u4": "h4"}  # u2 vanished
+
+    # validate without pages is a loud error, not a silent skip
+    with pytest.raises(ValueError, match="validate"):
+        apply_journal(fp, journal)
+
+    # hash-qualified removal: wrong hash -> no-op, right hash -> removed
+    j_wrong = spark.createDataFrame(
+        [("removed", "u4", "not-h4")], "op string, url string, content_md5 string"
+    )
+    assert apply_journal(fp, j_wrong).filter("url = 'u4'").count() == 1
+    j_right = spark.createDataFrame(
+        [("removed", "u4", "h4")], "op string, url string, content_md5 string"
+    )
+    assert apply_journal(fp, j_right).filter("url = 'u4'").count() == 0

@@ -69,11 +69,13 @@ def test_pipeline_resume_identical(spark, small_pages, cfg, work_dir):
     sig1 = _df_fingerprint(out1["clusters"], ["url", "cluster_id"])
 
     # simulate mid-pipeline crash: wipe everything after fingerprints
+    # (checkpoints live under cfg=<id>/<input-sig>/<stage>)
+    import glob
     import os
 
-    base = os.path.join(work_dir, f"cfg={cfg.config_id}")
     for stage in ["near_pairs", "edges", "clusters", "actions"]:
-        shutil.rmtree(os.path.join(base, stage), ignore_errors=True)
+        for p in glob.glob(os.path.join(work_dir, f"cfg={cfg.config_id}", "*", stage)):
+            shutil.rmtree(p, ignore_errors=True)
 
     p2 = DedupPipeline(spark, cfg, work_dir=work_dir, run_id="t2b")
     out2 = p2.run(pages)
@@ -81,6 +83,73 @@ def test_pipeline_resume_identical(spark, small_pages, cfg, work_dir):
     assert (sig1["s"], sig1["n"]) == (sig2["s"], sig2["n"])
     # fingerprints stage must have been resumed, not recomputed
     assert any(m.stage == "resume:fingerprints" for m in p2.metrics)
+
+
+def test_resume_keyed_by_input_identity(spark, small_pages, cfg, work_dir):
+    """Re-running the same work_dir on DIFFERENT input must recompute,
+    not silently reload the old corpus's checkpoints (ADVICE r1)."""
+    pages = small_pages.select("url", "warc_ts", "html", "text", "lang")
+    out1 = DedupPipeline(spark, cfg, work_dir=work_dir, run_id="i1").run(pages)
+    n1 = out1["fingerprints"].count()
+
+    smaller = pages.limit(100)
+    p2 = DedupPipeline(spark, cfg, work_dir=work_dir, run_id="i2")
+    out2 = p2.run(smaller)
+    assert out2["fingerprints"].count() == 100 != n1
+    # nothing was resumed from the other input's namespace
+    assert not any(m.stage.startswith("resume:") for m in p2.metrics)
+
+
+def test_recompute_verify_shape_equivalent(spark, small_pages, cfg):
+    """store_shingles=False (signatures only + candidate-side shingle
+    recompute) must cluster identically to the stored-shingles path,
+    and its fingerprint checkpoint must carry NO shingle arrays."""
+    pages = small_pages.select("url", "warc_ts", "html", "text", "lang")
+    out_a = DedupPipeline(spark, cfg, run_id="vs1").run(pages)
+    out_b = DedupPipeline(spark, cfg, run_id="vs2").run(pages, store_shingles=False)
+    sig_a = _df_fingerprint(out_a["clusters"], ["url", "cluster_id"])
+    sig_b = _df_fingerprint(out_b["clusters"], ["url", "cluster_id"])
+    assert (sig_a["s"], sig_a["n"]) == (sig_b["s"], sig_b["n"])
+    assert out_b["fingerprints"].filter(F.col("shingles").isNotNull()).count() == 0
+
+
+def test_pipeline_from_raw_html(spark, small_pages, cfg):
+    """S4 decode source: the pipeline ingesting ONLY raw html (text
+    derived in-pipeline) produces the same clusters as trusting the
+    upstream text column."""
+    pages = small_pages.select("url", "warc_ts", "html", "text", "lang")
+    out_t = DedupPipeline(spark, cfg, run_id="h1").run(pages)
+    out_h = DedupPipeline(spark, cfg, run_id="h2").run(
+        pages.drop("text"), extract_text_from_html=True
+    )
+    sig_t = _df_fingerprint(out_t["clusters"], ["url", "cluster_id"])
+    sig_h = _df_fingerprint(out_h["clusters"], ["url", "cluster_id"])
+    assert (sig_t["s"], sig_t["n"]) == (sig_h["s"], sig_h["n"])
+
+
+def test_pipeline_with_substring_pass(spark, small_pages, cfg):
+    """include_substring=True runs end-to-end on the long surrogate-id
+    path (ADVICE r1 high: the fixed string VERIFY_SCHEMA crashed Arrow
+    serialization on nid-keyed input) and its pairs land in the edges."""
+    pages = small_pages.select("url", "warc_ts", "html", "text", "lang")
+    out = DedupPipeline(spark, cfg, run_id="t4").run(pages, include_substring=True)
+    subs = out["substring_pairs"]
+    assert subs.count() > 0
+    # decoded pairs carry the original url strings
+    row = subs.first()
+    assert isinstance(row["url_a"], str) and row["url_a"].startswith("https://")
+    # planted substring-kind docs must co-cluster with their container
+    joined = out["clusters"].join(
+        small_pages.select("url", "truth_cluster_id", "dup_kind"), "url"
+    )
+    split_sub = (
+        joined.filter("dup_kind = 'substring'")
+        .groupBy("truth_cluster_id")
+        .agg(F.count_distinct("cluster_id").alias("nc"))
+        .filter("nc > 1")
+        .count()
+    )
+    assert split_sub == 0
 
 
 def test_pipeline_input_order_invariance(spark, small_pages, cfg):

@@ -49,6 +49,37 @@ def test_html_roundtrips_text(small_pages):
     assert bad == 0
 
 
+def test_extract_text_byte_identical_on_fixture(small_pages):
+    """S4 decode source: extract_text(html) == text for every url —
+    the BASELINE.json input_hint invariant, via the real extractor."""
+    from deduplicator_spark.sources.extract import extract_text
+
+    bad = small_pages.select(
+        "url", "text", extract_text(F.col("html")).alias("extracted")
+    ).filter(F.col("extracted") != F.col("text")).count()
+    assert bad == 0
+
+
+def test_extract_text_strips_markup(spark):
+    """Scripts/styles/comments removed, tags stripped, entities
+    unescaped last (&amp;lt; stays &lt; as text, not '<')."""
+    from deduplicator_spark.sources.extract import extract_text
+
+    cases = [
+        (b"<html><head><script>var x = '<b>'</script><style>p{}</style>"
+         b"</head><body>Hello <b>world</b></body></html>", "Hello world"),
+        (b"<p>a &amp; b &lt;tag&gt; &quot;q&quot; &#39;s&#39;</p>", "a & b <tag> \"q\" 's'"),
+        (b"<p>x &amp;lt; y</p>", "x &lt; y"),
+        (b"before<!-- hidden <b>bold</b> -->after", "beforeafter"),
+        (b"no markup at all", "no markup at all"),
+    ]
+    df = spark.createDataFrame([(h, w) for h, w in cases], "html binary, want string")
+    bad = df.select(extract_text(F.col("html")).alias("got"), "want").filter(
+        F.col("got") != F.col("want")
+    )
+    assert bad.count() == 0, bad.collect()
+
+
 def test_substring_pairs_contained(small_pages):
     pairs = (
         small_pages.filter(F.col("dup_kind") == "substring")

@@ -1,0 +1,192 @@
+#!/usr/bin/env python
+"""Generate the committed golden fixtures under tests/golden/.
+
+No Spark anywhere in this script — every golden is produced by an
+INDEPENDENT single-machine implementation (plain numpy / pandas /
+difflib) so the driver's DuckDB oracles that read these files check the
+distributed engine against a second implementation, not against itself:
+
+- pages_n500_s42.parquet   the deterministic synthetic pages fixture
+  (pure function of (seed,row,n); partition-invariant by construction,
+  pinned against the Spark generator by tests/test_goldens.py)
+- simhash_sf001.parquet    (doc_id, simhash) over sf0.01 documents —
+  per-doc shift-arithmetic bit-majority, a different code path from the
+  UDF's batched unpackbits/reduceat form
+- ann_sig_sf001.parquet    (vec_id, sig) hyperplane sign signatures
+  over sf0.01 embeddings (same seeded planes, independent matmul)
+- substring_pairs_n500.parquet  (url_a, url_b, matched_len) — true
+  longest-common-substring >= 50 normalized chars, candidates from an
+  exact 50-gram inverted index (recall 1.0: any common substring of
+  length >= L contains a shared L-gram), lengths from difflib's
+  find_longest_match (stdlib, unrelated to the engine's suffix array)
+
+Run:  python tools/make_goldens.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from difflib import SequenceMatcher
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+GOLDEN = os.path.join(ROOT, "tests", "golden")
+SF001 = "/root/testdata/sf0.01"
+
+_U64 = np.uint64
+_SHINGLE_BASE = _U64(0x100000001B3)  # must match functions.fingerprints
+MIN_SUB_LEN = 50  # chars; must match DedupConfig.substring_min_len
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = (x + _U64(0x9E3779B97F4A7C15)).astype(_U64)
+    x = (x ^ (x >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> _U64(27))) * _U64(0x94D049BB133111EB)
+    return x ^ (x >> _U64(31))
+
+
+def make_pages(n: int = 500, seed: int = 42) -> str:
+    from deduplicator_spark.sources.pages import _gen_batch
+
+    pdf = _gen_batch(np.arange(n, dtype=np.int64), n, seed)
+    out = os.path.join(GOLDEN, f"pages_n{n}_s{seed}.parquet")
+    schema = pa.schema(
+        [
+            ("url", pa.string()),
+            ("warc_ts", pa.timestamp("us")),
+            ("html", pa.binary()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+            ("truth_cluster_id", pa.int64()),
+            ("dup_kind", pa.string()),
+        ]
+    )
+    pq.write_table(pa.Table.from_pandas(pdf, schema=schema, preserve_index=False), out)
+    return out
+
+
+def _doc_shingles(text: str, k: int = 5) -> np.ndarray:
+    """Multiset of k-token shingle hashes of ONE doc (same hash math as
+    the engine, but per-doc — no batch segment bookkeeping)."""
+    toks = (text or "").lower().split()
+    if len(toks) < k:
+        return np.empty(0, dtype=_U64)
+    th = pd.util.hash_array(np.asarray(toks, dtype=object))
+    win = np.lib.stride_tricks.sliding_window_view(th, k)
+    weights = _SHINGLE_BASE ** np.arange(k, dtype=_U64)
+    with np.errstate(over="ignore"):
+        return _splitmix64((win * weights).sum(axis=1, dtype=_U64))
+
+
+def simhash_one(text: str, k: int = 5) -> int | None:
+    """Bitwise-majority SimHash via shift arithmetic (bit i of the
+    result is set iff more than half the shingle hashes have bit i
+    set) — provably equal to the engine's unpackbits/packbits form
+    because both apply the same per-bit majority."""
+    sh = _doc_shingles(text, k)
+    n = len(sh)
+    if n == 0:
+        return None
+    out = _U64(0)
+    for i in range(64):
+        cnt = int(((sh >> _U64(i)) & _U64(1)).sum())
+        if 2 * cnt > n:
+            out |= _U64(1) << _U64(i)
+    return int(out.astype(np.int64))
+
+
+def make_simhash() -> str:
+    docs = pq.read_table(os.path.join(SF001, "documents.parquet"), columns=["doc_id", "text"]).to_pandas()
+    rows = [
+        (int(d), s)
+        for d, t in zip(docs["doc_id"], docs["text"])
+        if (s := simhash_one(t)) is not None
+    ]
+    out = os.path.join(GOLDEN, "simhash_sf001.parquet")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "simhash": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, out)
+    return out
+
+
+def make_ann_sig(dim: int = 64, bits: int = 16, seed: int = 42) -> str:
+    emb = pq.read_table(os.path.join(SF001, "embeddings.parquet"), columns=["vec_id", "embedding"]).to_pandas()
+    rng = np.random.Generator(np.random.PCG64(seed))
+    planes = rng.standard_normal((dim, bits))
+    M = np.stack(emb["embedding"].to_numpy())
+    signs = (M @ planes) > 0
+    weights = 1 << np.arange(bits, dtype=np.int64)
+    sigs = (signs @ weights).astype(np.int64)
+    out = os.path.join(GOLDEN, "ann_sig_sf001.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(emb["vec_id"].astype(np.int64), pa.int64()),
+                "sig": pa.array(sigs, pa.int64()),
+            }
+        ),
+        out,
+    )
+    return out
+
+
+def make_substring_pairs(pages_path: str) -> str:
+    pdf = pq.read_table(pages_path, columns=["url", "text"]).to_pandas()
+    urls = pdf["url"].tolist()
+    norm = [" ".join((t or "").lower().split()) for t in pdf["text"]]
+
+    # exact 50-gram inverted index -> candidate pairs (recall 1.0)
+    index: dict[str, list[int]] = {}
+    for i, t in enumerate(norm):
+        for g in {t[j : j + MIN_SUB_LEN] for j in range(len(t) - MIN_SUB_LEN + 1)}:
+            index.setdefault(g, []).append(i)
+    cand: set[tuple[int, int]] = set()
+    for members in index.values():
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                cand.add((members[x], members[y]))
+
+    rows = []
+    for i, j in sorted(cand):
+        a, b = norm[i], norm[j]
+        m = SequenceMatcher(None, a, b, autojunk=False).find_longest_match(0, len(a), 0, len(b))
+        if m.size >= MIN_SUB_LEN:
+            ua, ub = sorted((urls[i], urls[j]))
+            rows.append((ua, ub, m.size))
+    rows.sort()
+    out = os.path.join(GOLDEN, "substring_pairs_n500.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "url_a": pa.array([r[0] for r in rows], pa.string()),
+                "url_b": pa.array([r[1] for r in rows], pa.string()),
+                "matched_len": pa.array([r[2] for r in rows], pa.int32()),
+            }
+        ),
+        out,
+    )
+    return out, len(rows)
+
+
+def main() -> None:
+    os.makedirs(GOLDEN, exist_ok=True)
+    p = make_pages()
+    print("pages:", p)
+    print("simhash:", make_simhash())
+    print("ann_sig:", make_ann_sig())
+    sub, n = make_substring_pairs(p)
+    print("substring:", sub, n, "pairs")
+
+
+if __name__ == "__main__":
+    main()
