@@ -38,6 +38,7 @@ GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests", "
 GOLDEN_PAGES = os.path.join(GOLDEN_DIR, "pages_n500_s42.parquet")
 GOLDEN_SIMHASH = os.path.join(GOLDEN_DIR, "simhash_sf001.parquet")
 GOLDEN_ANN_SIG = os.path.join(GOLDEN_DIR, "ann_sig_sf001.parquet")
+GOLDEN_IVF_CELLS = os.path.join(GOLDEN_DIR, "ivf_cells_sf001.parquet")
 GOLDEN_SUBSTRING = os.path.join(GOLDEN_DIR, "substring_pairs_n500.parquet")
 
 # normalized-text SQL fragment shared by the oracle queries (must mirror
@@ -161,6 +162,19 @@ def q_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex (BPE-ish) pre-tokenizer counts vs whitespace counts, per
+    doc — all JVM column algebra (functions/quality.py)."""
+    from deduplicator_spark.functions.quality import bpe_token_count
+
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        bpe_token_count("text").cast("long").alias("n_bpe_tokens"),
+        n_tokens("text").cast("long").alias("n_ws_tokens"),
+    )
+
+
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return docs.select(
@@ -192,6 +206,46 @@ def q_minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("url_a").cast("long").alias("id_a"),
         F.col("url_b").cast("long").alias("id_b"),
         F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-8-gram Jaccard near-dup pairs (J >= 0.5) — the n-gram
+    sibling of the token-shingle flagship, entirely JVM-side
+    (functions/text.py char_ngrams_hashed: substr+xxhash64+distinct).
+
+    Candidates come from the shared skew-capped gram-bucket expansion
+    (any pair with J > 0 shares a gram -> recall 1.0); exact Jaccard
+    verifies.  Hashed-gram sets give identical Jaccard values to the
+    oracle's string-gram sets (64-bit collisions are negligible at
+    fixture scale), so the DuckDB brute-force oracle matches exactly.
+    """
+    from deduplicator_spark.functions.text import char_ngrams_hashed
+    from deduplicator_spark.operators.buckets import bucket_pairs
+
+    docs = _docs(spark, sf_dir).select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("url"), "text"
+    )
+    sets = docs.select("url", char_ngrams_hashed("text", 8).alias("grams")).filter(
+        F.size("grams") > 0
+    ).localCheckpoint()
+    grams = sets.select("url", F.explode("grams").alias("g"))
+    cand, _ = bucket_pairs(grams, ["g"], CFG.max_band_bucket)
+    p = (
+        cand.join(sets.withColumnsRenamed({"url": "url_a", "grams": "g_a"}), "url_a")
+        .join(sets.withColumnsRenamed({"url": "url_b", "grams": "g_b"}), "url_b")
+    )
+    jac = F.size(F.array_intersect("g_a", "g_b")).cast("double") / F.size(
+        F.array_union("g_a", "g_b")
+    )
+    return (
+        p.withColumn("jac", jac)
+        .filter(F.col("jac") >= 0.5)
+        .select(
+            F.col("url_a").cast("long").alias("id_a"),
+            F.col("url_b").cast("long").alias("id_b"),
+            F.round("jac", 6).alias("jaccard"),
+        )
     )
 
 
@@ -233,6 +287,16 @@ def q_ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     band arithmetic and list_cosine_similarity in DuckDB."""
     emb = load_table(spark, sf_dir, "embeddings")
     return hyperplane_lsh_pairs(emb, dim=64, min_cosine=0.3)
+
+
+def q_ann_ivf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN pairs (single-probe coarse quantization) —
+    oracled against a committed golden cell-assignment table
+    (independent numpy argmax) + in-cell cosine verify in DuckDB."""
+    from deduplicator_spark.operators.ann import ivf_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_pairs(emb, dim=64, n_cells=16, min_cosine=0.3)
 
 
 def q_pipeline_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -318,12 +382,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "lang_id_counts": q_lang_id_counts,
         "token_stats_by_lang": q_token_stats_by_lang,
+        "bpe_token_stats": q_bpe_token_stats,
         "doc_fingerprints": q_doc_fingerprints,
         "embedding_cosine_topk": q_embedding_cosine_topk,
         "minhash_near_dup_pairs": q_minhash_near_dup_pairs,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "near_dup_clusters": q_near_dup_clusters,
         "simhash_candidates": q_simhash_candidates,
         "ann_lsh_pairs": q_ann_lsh_pairs,
+        "ann_ivf_pairs": q_ann_ivf_pairs,
         "pipeline_actions": q_pipeline_actions,
         "alt_series_filter": q_alt_series_filter,
         "substring_pairs": q_substring_pairs,
@@ -550,6 +617,13 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(length(text)), 4) AS avg_chars
             FROM documents GROUP BY lang
         """,
+        "bpe_token_stats": f"""
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))
+                     AS n_bpe_tokens,
+                   {_NTOK} AS n_ws_tokens
+            FROM documents
+        """,
         "doc_fingerprints": """
             SELECT doc_id, md5(text) AS content_md5,
                    md5(substr(text, 1, 60)) AS prefix_fp
@@ -579,6 +653,20 @@ def oracle_sql() -> dict[str, str]:
             FROM s a JOIN s b ON a.doc_id < b.doc_id
             WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
                   / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
+        """,
+        "ngram_jaccard_pairs": r"""
+            WITH t AS (
+              SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+              FROM documents),
+            g AS (
+              SELECT doc_id, list_distinct([nt[i:i+7] for i in range(1, length(nt) - 6)]) AS grams
+              FROM t WHERE length(nt) >= 8)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.grams, b.grams))::DOUBLE
+                         / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+            FROM g a JOIN g b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+                  / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
         """,
         # --- the seven formerly-no_oracle queries (VERDICT r1 #1) ---
         "near_dup_clusters": r"""
@@ -632,6 +720,21 @@ def oracle_sql() -> dict[str, str]:
               FROM bands a JOIN bands b
                 ON a.band_idx = b.band_idx AND a.band_val = b.band_val
                AND a.vec_id < b.vec_id)
+            SELECT c.id_a, c.id_b,
+                   round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                                eb.embedding::DOUBLE[]), 5) AS cosine
+            FROM cand c
+            JOIN embeddings ea ON ea.vec_id = c.id_a
+            JOIN embeddings eb ON eb.vec_id = c.id_b
+            WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                               eb.embedding::DOUBLE[]), 5) >= 0.3
+        """,
+        "ann_ivf_pairs": f"""
+            WITH cells AS (SELECT * FROM read_parquet('{GOLDEN_IVF_CELLS}')),
+            cand AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM cells a JOIN cells b
+                ON a.cell = b.cell AND a.vec_id < b.vec_id)
             SELECT c.id_a, c.id_b,
                    round(list_cosine_similarity(ea.embedding::DOUBLE[],
                                                 eb.embedding::DOUBLE[]), 5) AS cosine

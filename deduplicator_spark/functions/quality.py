@@ -86,6 +86,21 @@ def lang_id(text: Column | str) -> Column:
     return F.when(best == 0, F.lit("und")).otherwise(out)
 
 
+#: BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation
+#: marks (class-only regex — identical semantics in Java regex and
+#: DuckDB's RE2, so the oracle reproduces it bit-for-bit)
+BPE_TOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """Sub-word-style token count: the whitespace count (n_tokens)
+    underestimates cost for punctuation/digit-heavy web text; this is
+    the standard regex pre-tokenization pass (JVM regexp_extract_all,
+    no UDF)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), 0))
+
+
 def doc_fingerprints(text: Column | str, prefix_len: int = 60) -> list[Column]:
     """(content_md5, content_crc32, prefix_fp) — md5 exact identity,
     crc32 disambiguation suffix (reference: dedupc.py:316-320), and the

@@ -66,6 +66,65 @@ def make_hyperplane_udf(dim: int, bits: int = 16, seed: int = 42):
     return signature
 
 
+def make_ivf_cell_udf(dim: int, n_cells: int = 16, seed: int = 42):
+    """pandas UDF: embedding -> IVF cell id (argmax cosine against
+    ``n_cells`` seeded unit centroids; one matmul per Arrow batch)."""
+    rng = np.random.Generator(np.random.PCG64(seed + 0x1BF))
+    centroids = rng.standard_normal((n_cells, dim))
+    centroids /= np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    @pandas_udf(T.IntegerType())
+    def cell(vecs: pd.Series) -> pd.Series:
+        M = np.stack(vecs.to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(M, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        return pd.Series(np.argmax((M / norms) @ centroids.T, axis=1).astype(np.int32))
+
+    return cell
+
+
+def ivf_pairs(
+    emb: DataFrame,
+    dim: int,
+    n_cells: int = 16,
+    min_cosine: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_bucket: int = 100_000,
+) -> DataFrame:
+    """IVF-bucketed near-dup pairs: coarse quantization to seeded
+    centroids, candidates within a cell (single-probe), exact cosine
+    verify.  The inverted-file sibling of ``hyperplane_lsh_pairs`` —
+    same id-only candidate expansion through ``bucket_pairs``, vectors
+    attached per-side after pair dedup.  Recall is bounded by the
+    cell-boundary miss rate of single-probe IVF (documented, standard);
+    the LSH variant is the recall-tunable path.
+    Output: (id_a, id_b, cosine >= min_cosine, rounded to 5)."""
+    from deduplicator_spark.operators.buckets import bucket_pairs
+
+    cell_udf = make_ivf_cell_udf(dim, n_cells, seed)
+    s = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        cell_udf(F.col(vec_col)).alias("cell"),
+    ).localCheckpoint()
+    cand, _overflow = bucket_pairs(
+        s.select(F.col("id").alias("url"), "cell"), ["cell"], max_bucket
+    )
+    vec = s.select("id", "v")
+    p = (
+        cand.select(F.col("url_a").alias("id_a"), F.col("url_b").alias("id_b"))
+        .join(vec.withColumnsRenamed({"id": "id_a", "v": "v_a"}), "id_a")
+        .join(vec.withColumnsRenamed({"id": "id_b", "v": "v_b"}), "id_b")
+    )
+    return (
+        p.withColumn("cosine", F.round(_cosine(F.col("v_a"), F.col("v_b")), 5))
+        .filter(F.col("cosine") >= min_cosine)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def hyperplane_lsh_pairs(
     emb: DataFrame,
     dim: int,

@@ -14,16 +14,20 @@ collision check.
 
 Collision policy: LOUD, never silent.  ``encode_ids`` counts distinct
 ids vs distinct urls (one cheap aggregation) and on collision falls
-back to dense ``row_number``-over-sorted-urls ids (deterministic, one
-global sort) — callers then attach ids via the dictionary join
-instead of the hash projection.
+back to ``zipWithIndex`` dense ids — fully distributed (one extra
+count job, no global sort; the old row_number-over-everything fallback
+was a single-task outage waiting at 10^12 urls).  nid VALUES in the
+fallback depend on partitioning, which is safe: every consumer
+(pair expansion, CC) only needs uniqueness — cluster ids are
+re-derived as min(real url) at decode time (``decode_clusters``), so
+pipeline output is identical either way.  Callers then attach ids via
+the dictionary join instead of the hash projection.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 
 def encode_ids(docs: DataFrame, url_col: str = "url") -> tuple[DataFrame, bool]:
@@ -39,8 +43,8 @@ def encode_ids(docs: DataFrame, url_col: str = "url") -> tuple[DataFrame, bool]:
     ).collect()[0]
     if counts["n"] == counts["nd"]:
         return ids, True
-    w = Window.orderBy("url")
-    return urls.select("url", F.row_number().over(w).cast("long").alias("nid")), False
+    dense = urls.rdd.zipWithIndex().map(lambda t: (t[0][0], t[1]))
+    return dense.toDF(["url", "nid"]), False
 
 
 def encode_fp(fp: DataFrame, dict_ids: DataFrame, hash_ok: bool = True, url_col: str = "url") -> DataFrame:

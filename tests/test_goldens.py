@@ -50,6 +50,19 @@ def test_golden_simhash_matches_udf(spark):
     assert got == want
 
 
+def test_golden_ivf_cells_match_udf(spark):
+    from deduplicator_spark.operators.ann import make_ivf_cell_udf
+
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    cell_udf = make_ivf_cell_udf(dim=64, n_cells=16, seed=42)
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in emb.select("vec_id", cell_udf("embedding").alias("cell")).collect()
+    }
+    want = {r["vec_id"]: r["cell"] for r in pq.read_table(entry.GOLDEN_IVF_CELLS).to_pylist()}
+    assert got == want
+
+
 def test_golden_ann_sig_matches_udf(spark):
     from deduplicator_spark.operators.ann import make_hyperplane_udf
 

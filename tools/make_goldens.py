@@ -140,6 +140,30 @@ def make_ann_sig(dim: int = 64, bits: int = 16, seed: int = 42) -> str:
     return out
 
 
+def make_ivf_cells(dim: int = 64, n_cells: int = 16, seed: int = 42) -> str:
+    """Independent IVF cell assignment: same seeded centroids, plain
+    numpy argmax (no Spark/Arrow batching)."""
+    emb = pq.read_table(os.path.join(SF001, "embeddings.parquet"), columns=["vec_id", "embedding"]).to_pandas()
+    rng = np.random.Generator(np.random.PCG64(seed + 0x1BF))
+    centroids = rng.standard_normal((n_cells, dim))
+    centroids /= np.linalg.norm(centroids, axis=1, keepdims=True)
+    M = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(M, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    cells = np.argmax((M / norms) @ centroids.T, axis=1).astype(np.int32)
+    out = os.path.join(GOLDEN, "ivf_cells_sf001.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(emb["vec_id"].astype(np.int64), pa.int64()),
+                "cell": pa.array(cells, pa.int32()),
+            }
+        ),
+        out,
+    )
+    return out
+
+
 def make_substring_pairs(pages_path: str) -> str:
     pdf = pq.read_table(pages_path, columns=["url", "text"]).to_pandas()
     urls = pdf["url"].tolist()
@@ -184,6 +208,7 @@ def main() -> None:
     print("pages:", p)
     print("simhash:", make_simhash())
     print("ann_sig:", make_ann_sig())
+    print("ivf_cells:", make_ivf_cells())
     sub, n = make_substring_pairs(p)
     print("substring:", sub, n, "pairs")
 
