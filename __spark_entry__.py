@@ -40,6 +40,7 @@ GOLDEN_SIMHASH = os.path.join(GOLDEN_DIR, "simhash_sf001.parquet")
 GOLDEN_ANN_SIG = os.path.join(GOLDEN_DIR, "ann_sig_sf001.parquet")
 GOLDEN_IVF_CELLS = os.path.join(GOLDEN_DIR, "ivf_cells_sf001.parquet")
 GOLDEN_SUBSTRING = os.path.join(GOLDEN_DIR, "substring_pairs_n500.parquet")
+GOLDEN_ROLLING = os.path.join(GOLDEN_DIR, "rolling_fp_sf001.parquet")
 
 # normalized-text SQL fragment shared by the oracle queries (must mirror
 # deduplicator_spark.functions.text.normalize_text exactly)
@@ -181,6 +182,30 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.md5("text").alias("content_md5"),
         F.md5(F.substring("text", 1, 60)).alias("prefix_fp"),
+    )
+
+
+def q_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprints: winnowed anchor set of the
+    polynomial k-gram rolling hash (operators/substring.py), aggregated
+    per doc JVM-side (size / array_min / xor-fold).  Oracled against a
+    committed golden built by an independent pure-Python mod-2^64
+    implementation (tools/make_goldens.py make_rolling_fp)."""
+    from deduplicator_spark.operators.substring import make_winnow_udf
+
+    winnow = make_winnow_udf(CFG)
+    docs = _docs(spark, sf_dir)
+    a = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        winnow(F.col("text")).alias("anchors"),
+    ).filter(F.col("anchors").isNotNull())
+    return a.select(
+        "doc_id",
+        F.size("anchors").cast("long").alias("n_anchors"),
+        F.array_min("anchors").alias("min_anchor"),
+        F.aggregate(
+            "anchors", F.lit(0).cast("long"), lambda s, v: s.bitwiseXOR(v)
+        ).alias("anchor_xor"),
     )
 
 
@@ -384,6 +409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats_by_lang": q_token_stats_by_lang,
         "bpe_token_stats": q_bpe_token_stats,
         "doc_fingerprints": q_doc_fingerprints,
+        "rolling_fingerprints": q_rolling_fingerprints,
         "embedding_cosine_topk": q_embedding_cosine_topk,
         "minhash_near_dup_pairs": q_minhash_near_dup_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -746,6 +772,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "substring_pairs": f"""
             SELECT url_a, url_b, matched_len FROM read_parquet('{GOLDEN_SUBSTRING}')
+        """,
+        "rolling_fingerprints": f"""
+            SELECT doc_id, n_anchors, min_anchor, anchor_xor
+            FROM read_parquet('{GOLDEN_ROLLING}')
         """,
         "media_features": f"""
             SELECT url, 'image' AS media_type,

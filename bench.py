@@ -158,23 +158,38 @@ def main() -> None:
 
     timed("q5_full_pipeline", q5)
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "e2e_near_dup_dedup",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "n_docs": n_docs,
-                "docs_per_sec_q1": round(n_docs / timings["q1_minhash_lsh_dedup"], 1),
-                "clustered_rows_q1": n_clustered,
-                "cpus": cpus,
-                "config": CFG.config_id,
+    # q1b is an alternate verify shape of q1 (reported per-query), not
+    # extra pipeline work — keep the headline total comparable across
+    # rounds by excluding it
+    total = round(sum(v for k, v in timings.items() if k != "q1b_lsh_dedup_recompute"), 3)
+    result = {
+        "metric": "e2e_near_dup_dedup",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_docs": n_docs,
+        "docs_per_sec_q1": round(n_docs / timings["q1_minhash_lsh_dedup"], 1),
+        "clustered_rows_q1": n_clustered,
+        "cpus": cpus,
+        "config": CFG.config_id,
+    }
+    # attach the north-rule scaling evidence (bench_scaling.py --write)
+    # so the per-round bench JSON is self-contained
+    scaling_path = os.path.join(ROOT, "BENCH", "RESULTS.json")
+    if os.path.exists(scaling_path):
+        try:
+            with open(scaling_path) as f:
+                s = json.load(f)
+            result["scaling"] = {
+                "efficiency_e2e": s.get("value"),
+                "efficiency_fp_stage": s.get("fp_stage_efficiency"),
+                "pairing": s.get("unit"),
+                "n_docs": s.get("n_docs"),
             }
-        )
-    )
+        except (json.JSONDecodeError, OSError):
+            pass
+    print(json.dumps(result))
     spark.stop()
 
 

@@ -21,14 +21,15 @@ winnowing (MOSS) for distributed candidate generation:
    maximum cross-document LCP — the true longest common substring.
    Pairs with LCS >= ``min_len`` become edges with ``matched_len``.
 
-Scale shape: the only shuffles are (anchor_hash) and (url) equi-joins;
-verification touches candidate pairs only.  The per-pair suffix array
-runs inside ``mapInPandas`` batches (Arrow in, Arrow out).
+Scale shape: the only shuffles are (anchor_hash) and (url) equi-joins
+plus one (url_a, salt) group exchange; verification touches candidate
+pairs only, grouped by a-side doc (salted against mega-star skew) so
+each a-text crosses the shuffle at most min(pairs, n_salt) times
+instead of once per pair.  The per-pair suffix array runs inside
+``applyInPandas`` groups.
 """
 
 from __future__ import annotations
-
-from typing import Iterator
 
 import numpy as np
 import pandas as pd
@@ -189,29 +190,49 @@ def substring_pairs(
     # and identical anchor buckets collapse before pair expansion
     cand, overflow = bucket_pairs(anchors, ["anchor"], max_bucket)
 
+    # Group-by-doc verify shape (VERDICT r1: the old per-pair join
+    # shipped BOTH texts once per pair, so a doc in 50 candidate pairs
+    # crossed the shuffle 50 times).  Partner texts ship once per pair;
+    # the a-side text ships once per OCCUPIED (url_a, salt) subgroup —
+    # at most ``n_salt`` copies for any star size and never more than
+    # the pair count, and it is normalized/Arrow-decoded once per
+    # subgroup.  The salt bounds task skew: a mega-star's pairs spread
+    # over ``n_salt`` tasks instead of one.  Self rows carry
+    # url_b = url_a (never null: a nullable long url column would
+    # surface in pandas as float64 and corrupt full-range 64-bit
+    # surrogate ids).
+    n_salt = 16
     texts = pages.select("url", F.col(text_col).alias("t"))
-    joined = (
-        cand.join(texts.withColumnsRenamed({"url": "url_a", "t": "t_a"}), "url_a")
-        .join(texts.withColumnsRenamed({"url": "url_b", "t": "t_b"}), "url_b")
+    salt = F.pmod(F.xxhash64("url_b"), F.lit(n_salt)).cast("int").alias("salt")
+    partners = cand.join(
+        texts.withColumnsRenamed({"url": "url_b", "t": "t"}), "url_b"
+    ).select("url_a", "url_b", "t", F.lit(False).alias("is_self"), salt)
+    selfs = (
+        cand.select("url_a", salt)
+        .distinct()
+        .join(texts.withColumnsRenamed({"url": "url_a"}), "url_a")
+        .select("url_a", F.col("url_a").alias("url_b"), "t", F.lit(True).alias("is_self"), "salt")
     )
 
     min_len = cfg.substring_min_len
 
-    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            rows = []
-            for url_a, url_b, ta, tb in zip(pdf["url_a"], pdf["url_b"], pdf["t_a"], pdf["t_b"]):
-                na = " ".join((ta or "").lower().split())
-                nb = " ".join((tb or "").lower().split())
-                m = longest_common_substring_len(na, nb)
-                if m >= min_len:
-                    rows.append((url_a, url_b, m))
-            if rows:
-                yield pd.DataFrame(rows, columns=["url_a", "url_b", "matched_len"])
+    def verify_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        self_rows = pdf[pdf["is_self"]]
+        part = pdf[~pdf["is_self"]]
+        if not len(self_rows) or not len(part):
+            return pd.DataFrame(columns=["url_a", "url_b", "matched_len"])
+        na = " ".join((self_rows["t"].iloc[0] or "").lower().split())
+        rows = []
+        for url_a, url_b, tb in zip(part["url_a"], part["url_b"], part["t"]):
+            nb = " ".join((tb or "").lower().split())
+            m = longest_common_substring_len(na, nb)
+            if m >= min_len:
+                rows.append((url_a, url_b, m))
+        return pd.DataFrame(rows, columns=["url_a", "url_b", "matched_len"])
 
-    verified = joined.mapInPandas(
-        verify, schema=_verify_schema(pages.schema["url"].dataType)
+    verified = (
+        partners.unionByName(selfs)
+        .groupBy("url_a", "salt")
+        .applyInPandas(verify_group, schema=_verify_schema(pages.schema["url"].dataType))
     )
     return verified, overflow

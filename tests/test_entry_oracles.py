@@ -35,6 +35,13 @@ def test_query_matches_oracle(spark, duck, name):
     odf = _normalize(duck.execute(entrymod.oracle_sql()[name]).df())
     assert list(sdf.columns) == list(odf.columns), f"schema mismatch in {name}"
     assert len(sdf) == len(odf), f"row count {len(sdf)} vs {len(odf)} in {name}"
+    # the driver's value hash is dtype-sensitive (an int column vs a
+    # float column of equal values hash differently) — pin the numeric
+    # KIND even though exact width may differ (int32 vs int64 is fine)
+    for c in sdf.columns:
+        ks, ko = sdf[c].dtype.kind, odf[c].dtype.kind
+        both = {ks, ko}
+        assert ks == ko or both <= {"i", "u"}, f"dtype kind mismatch in {name}.{c}: {ks} vs {ko}"
     if len(sdf):
         pd.testing.assert_frame_equal(sdf, odf, check_dtype=False, check_exact=True)
 

@@ -50,6 +50,20 @@ def test_golden_simhash_matches_udf(spark):
     assert got == want
 
 
+def test_golden_rolling_fp_matches_engine(spark):
+    """The winnow UDF's per-doc anchor aggregates must equal the
+    independent pure-Python mod-2^64 implementation's golden."""
+    got = {
+        r["doc_id"]: (r["n_anchors"], r["min_anchor"], r["anchor_xor"])
+        for r in entry.q_rolling_fingerprints(spark, SF001).collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_anchors"], r["min_anchor"], r["anchor_xor"])
+        for r in pq.read_table(entry.GOLDEN_ROLLING).to_pylist()
+    }
+    assert got == want
+
+
 def test_golden_ivf_cells_match_udf(spark):
     from deduplicator_spark.operators.ann import make_ivf_cell_udf
 

@@ -66,6 +66,33 @@ def test_ann_pair_dedup_carries_no_vectors(spark):
         assert not re.search(r"\bv(_a|_b)?#", inp), f"vector column crosses pair exchange: {inp}"
 
 
+def test_ivf_pair_dedup_carries_no_vectors(spark):
+    """ivf_pairs: same id-only discipline as the hyperplane path — the
+    cell-bucket expansion and pair dedup shuffle ids, vectors attach
+    per-side afterwards."""
+    import re
+
+    from deduplicator_spark.operators.ann import ivf_pairs
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = _plan(ivf_pairs(emb, dim=64, n_cells=16, min_cosine=0.3))
+    blocks = re.findall(
+        r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]\s*\nArguments: hashpartitioning\(([^)]*)\)",
+        plan,
+    )
+    assert blocks, "no hash exchanges found — plan shape changed?"
+    pair_exchanges = [
+        inp for inp, keys in blocks
+        if ("url_a" in keys and "url_b" in keys)
+        or ("id_a" in keys and "id_b" in keys)
+        or "bucket_key" in keys
+        or "cell" in keys
+    ]
+    assert pair_exchanges, "no pair/cell-key exchanges found — plan shape changed?"
+    for inp in pair_exchanges:
+        assert not re.search(r"\bv(_a|_b)?#", inp), f"vector column crosses pair exchange: {inp}"
+
+
 def test_lsh_band_explode_stays_jvm(spark, small_pages, cfg):
     """band_explode must be pure JVM expressions over the fingerprint
     frame — no Python evaluation nodes in its incremental plan."""

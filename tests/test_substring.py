@@ -76,6 +76,23 @@ def test_substring_operator_finds_planted_pairs(spark, small_pages, cfg):
         assert got[key] >= cfg.substring_min_len
 
 
+def test_substring_star_and_long_keys(spark, cfg):
+    """One hub doc contained in many others (a candidate star — the
+    shape the grouped verify amortizes) with long surrogate ids; every
+    hub-spoke pair must verify with the exact shared length."""
+    core = "the quick brown fox jumps over the lazy dog " * 3  # >= min_len
+    rows = [(0, core.strip())]
+    rows += [
+        (i, f"spoke {i} prefix text . {core} suffix {i}".strip()) for i in range(1, 13)
+    ]
+    pages = spark.createDataFrame(rows, "url long, text string")
+    pairs, _ = substring_pairs(pages, cfg)
+    got = {(r["url_a"], r["url_b"]): r["matched_len"] for r in pairs.collect()}
+    norm_core = " ".join(core.lower().split())
+    for i in range(1, 13):
+        assert got.get((0, i), 0) >= len(norm_core), f"missed hub pair (0, {i})"
+
+
 def test_substring_operator_no_degenerate_pairs(spark, small_pages, cfg):
     pairs, _ = substring_pairs(small_pages.select("url", "text"), cfg)
     deg = {r["url"] for r in small_pages.filter("dup_kind = 'degenerate'").collect()}

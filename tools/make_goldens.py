@@ -164,6 +164,63 @@ def make_ivf_cells(dim: int = 64, n_cells: int = 16, seed: int = 42) -> str:
     return out
 
 
+def make_rolling_fp(k: int = 20, min_len: int = 50) -> str:
+    """Independent per-doc winnowing fingerprint aggregates over sf0.01
+    documents: pure-Python int arithmetic mod 2^64 (no numpy sliding
+    windows, no vectorized min) — a second implementation of the
+    rolling polynomial k-gram hash + window-minimum selection that
+    operators/substring.py's UDF computes.
+
+    Output: (doc_id, n_anchors, min_anchor, anchor_xor) — min/xor over
+    the SIGNED int64 view, matching the engine's long columns."""
+    docs = pq.read_table(
+        os.path.join(SF001, "documents.parquet"), columns=["doc_id", "text"]
+    ).to_pylist()
+    w = min_len - k + 1
+    M = 1 << 64
+    weights = [pow(0x100000001B3, i, M) for i in range(k)]
+    rows = []
+    for r in docs:
+        norm = " ".join((r["text"] or "").lower().split())
+        b = norm.encode("utf-8")
+        if len(b) < k:
+            continue
+        grams = []
+        for j in range(len(b) - k + 1):
+            h = sum(b[j + i] * weights[i] for i in range(k)) % M
+            h = ((h ^ (h >> 31)) * 0xBF58476D1CE4E5B9) % M
+            grams.append(h)
+        if len(grams) <= w:
+            anchors = set(grams)
+        else:
+            anchors = {min(grams[t : t + w]) for t in range(len(grams) - w + 1)}
+        signed = [a - M if a >= (1 << 63) else a for a in anchors]
+        x = 0
+        for a in anchors:
+            x ^= a
+        rows.append(
+            (
+                r["doc_id"],
+                len(signed),
+                min(signed),
+                x - M if x >= (1 << 63) else x,
+            )
+        )
+    out = os.path.join(GOLDEN, "rolling_fp_sf001.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "n_anchors": pa.array([r[1] for r in rows], pa.int64()),
+                "min_anchor": pa.array([r[2] for r in rows], pa.int64()),
+                "anchor_xor": pa.array([r[3] for r in rows], pa.int64()),
+            }
+        ),
+        out,
+    )
+    return out
+
+
 def make_substring_pairs(pages_path: str) -> str:
     pdf = pq.read_table(pages_path, columns=["url", "text"]).to_pandas()
     urls = pdf["url"].tolist()
@@ -209,6 +266,7 @@ def main() -> None:
     print("simhash:", make_simhash())
     print("ann_sig:", make_ann_sig())
     print("ivf_cells:", make_ivf_cells())
+    print("rolling_fp:", make_rolling_fp())
     sub, n = make_substring_pairs(p)
     print("substring:", sub, n, "pairs")
 
