@@ -337,6 +337,15 @@ def q_pipeline_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out["actions"]
 
 
+def q_undo_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 undo-script sink: one ready-to-run reversal line per delete
+    action of the full-pipeline run on the golden pages fixture.
+    Oracled by wrapping the pipeline_actions SQL."""
+    from deduplicator_spark.operators.filters import undo_script
+
+    return undo_script(q_pipeline_actions(spark, sf_dir))
+
+
 def q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suffix-array substring pass (winnowing anchors guarantee recall
     1.0 for matches >= min_len).  Oracled against a committed golden
@@ -418,6 +427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_pairs": q_ann_lsh_pairs,
         "ann_ivf_pairs": q_ann_ivf_pairs,
         "pipeline_actions": q_pipeline_actions,
+        "undo_script": q_undo_script,
         "alt_series_filter": q_alt_series_filter,
         "substring_pairs": q_substring_pairs,
         "media_features": q_media_features,
@@ -784,5 +794,11 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{GOLDEN_PAGES}')
         """,
         "pipeline_actions": _pipeline_actions_sql(),
+        "undo_script": f"""
+            SELECT url, 'restore' AS undo_op,
+                   'restore' || chr(9) || url AS undo_line
+            FROM ({_pipeline_actions_sql()}) t
+            WHERE op = 'delete'
+        """,
         "alt_series_filter": _alt_series_filter_sql(),
     }

@@ -7,6 +7,7 @@ from deduplicator_spark.operators.filters import (
     exempt_filter,
     protected_rows,
     rename_plan,
+    undo_script,
 )
 from deduplicator_spark.operators.lsh import (
     band_explode,
@@ -51,6 +52,7 @@ __all__ = [
     "exempt_filter",
     "protected_rows",
     "rename_plan",
+    "undo_script",
     "verify_pairs_two_stage",
     "verify_pairs_two_stage_recompute",
     "exact_clusters",

@@ -73,6 +73,31 @@ def apply_keep_overrides(ranked: DataFrame, overrides: DataFrame) -> DataFrame:
     )
 
 
+def undo_script(actions: DataFrame) -> DataFrame:
+    """S9: the materialized undo artifact (reference writes an undo
+    script beside its rename/delete actions, dedupc.py:329-337) as a
+    distributed table — one row per REVERSIBLE action with a
+    ready-to-run line.  Accepts either the pipeline's action log
+    (op='delete' reverses to a restore) or a ``rename_plan`` output
+    (op='rename' reverses to a move back).  Sink it with
+    ``df.select("undo_line").write.text(path)`` — no driver collect.
+
+    Output: (url, undo_op, undo_line)."""
+    if "new_name" in actions.columns:
+        return actions.filter(F.col("op") == "rename").select(
+            "url",
+            F.lit("rename_back").alias("undo_op"),
+            F.concat(
+                F.lit("mv\t"), F.col("new_name"), F.lit("\t"), F.col("url")
+            ).alias("undo_line"),
+        )
+    return actions.filter(F.col("op") == "delete").select(
+        "url",
+        F.lit("restore").alias("undo_op"),
+        F.concat(F.lit("restore\t"), F.col("url")).alias("undo_line"),
+    )
+
+
 def rename_plan(fingerprints: DataFrame, clusters: DataFrame) -> DataFrame:
     """Rename-to-fingerprint plan (dedupc.py:280-341): every clustered
     doc's new name is its cluster fingerprint; members of multi-doc

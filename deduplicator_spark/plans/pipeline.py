@@ -39,6 +39,7 @@ from deduplicator_spark.operators.lsh import (
     verify_pairs_two_stage,
     verify_pairs_two_stage_recompute,
 )
+from deduplicator_spark.operators.filters import undo_script
 from deduplicator_spark.operators.substring import substring_pairs
 from deduplicator_spark.plans.chain import decode_clusters, decode_pairs, encode_fp, encode_ids
 from deduplicator_spark.operators.ranking import actions_from_ranking, with_canonical
@@ -263,6 +264,12 @@ class DedupPipeline:
             )
         )
         actions = self._checkpoint("actions", actions_from_ranking(ranked), resume)
+        undo = undo_script(actions)
+        if self.work_dir:
+            # S9: the undo artifact itself, written distributed as text
+            undo.select("undo_line").write.mode("overwrite").text(
+                os.path.join(self.work_dir, f"cfg={self.cfg.config_id}", self._run_key, "undo_script")
+            )
 
         out: dict[str, DataFrame] = {
             "fingerprints": fingerprints,
@@ -272,6 +279,7 @@ class DedupPipeline:
             "edges": edges,  # nid-keyed (internal representation)
             "clusters": clusters,
             "actions": actions,
+            "undo": undo,
         }
         if substring is not None:
             out["substring_pairs"] = decode_pairs(substring, dict_ids)

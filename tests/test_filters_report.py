@@ -66,6 +66,26 @@ def test_keep_overrides(spark):
     assert keeps["c2"] == "https://a.com/y/one.html"     # ranked winner
 
 
+def test_undo_script_reverses_deletes_and_renames(spark):
+    from deduplicator_spark.operators.filters import undo_script
+
+    actions = spark.createDataFrame(
+        [("c1", "u1", "keep"), ("c1", "u2", "delete"), ("c1", "u3", "delete")],
+        "cluster_id string, url string, op string",
+    )
+    got = {r["url"]: (r["undo_op"], r["undo_line"]) for r in undo_script(actions).collect()}
+    assert got == {
+        "u2": ("restore", "restore\tu2"),
+        "u3": ("restore", "restore\tu3"),
+    }
+
+    renames = spark.createDataFrame(
+        [("u1", "abc.html", "rename")], "url string, new_name string, op string"
+    )
+    r = undo_script(renames).collect()[0]
+    assert (r["undo_op"], r["undo_line"]) == ("rename_back", "mv\tabc.html\tu1")
+
+
 def test_rename_plan_crc_suffix(spark):
     fp = spark.createDataFrame(
         [("https://a/d1.html", "aaa"), ("https://a/d2.html", "aaa"), ("https://a/s.html", "bbb")],
