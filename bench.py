@@ -98,6 +98,12 @@ def main() -> None:
         clusters = decode_clusters(clusters_from_pairs(verified, min_size=2), dict_ids)
         return clusters.count()
 
+    # full warm-up pass: the 500-doc slice above warms Arrow/Python
+    # workers but not the join/CC code paths — a cold q1 measures JIT
+    # and scheduler warm-up, not the operator (observed 61s -> 27s
+    # cold-vs-warm on the same session).  One untimed full run first,
+    # same protocol as bench_scaling.py.
+    q1()
     n_clustered = timed("q1_minhash_lsh_dedup", q1)
 
     # q1b: the at-scale verify shape — NO stored shingle arrays

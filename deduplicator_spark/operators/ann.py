@@ -66,12 +66,17 @@ def make_hyperplane_udf(dim: int, bits: int = 16, seed: int = 42):
     return signature
 
 
-def make_ivf_cell_udf(dim: int, n_cells: int = 16, seed: int = 42):
-    """pandas UDF: embedding -> IVF cell id (argmax cosine against
-    ``n_cells`` seeded unit centroids; one matmul per Arrow batch)."""
+def _ivf_centroids(dim: int, n_cells: int, seed: int) -> np.ndarray:
     rng = np.random.Generator(np.random.PCG64(seed + 0x1BF))
     centroids = rng.standard_normal((n_cells, dim))
     centroids /= np.linalg.norm(centroids, axis=1, keepdims=True)
+    return centroids
+
+
+def make_ivf_cell_udf(dim: int, n_cells: int = 16, seed: int = 42):
+    """pandas UDF: embedding -> IVF cell id (argmax cosine against
+    ``n_cells`` seeded unit centroids; one matmul per Arrow batch)."""
+    centroids = _ivf_centroids(dim, n_cells, seed)
 
     @pandas_udf(T.IntegerType())
     def cell(vecs: pd.Series) -> pd.Series:
@@ -83,6 +88,26 @@ def make_ivf_cell_udf(dim: int, n_cells: int = 16, seed: int = 42):
     return cell
 
 
+def make_ivf_probe_udf(dim: int, n_cells: int = 16, seed: int = 42, n_probe: int = 2):
+    """pandas UDF: embedding -> the ``n_probe`` nearest IVF cells
+    (standard multi-probe: querying neighboring cells recovers pairs
+    that single-probe loses at cell boundaries).  The top-1 cell is
+    always included, so multi-probe candidates are a superset of
+    single-probe candidates (pinned by test)."""
+    centroids = _ivf_centroids(dim, n_cells, seed)
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def cells(vecs: pd.Series) -> pd.Series:
+        M = np.stack(vecs.to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(M, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (M / norms) @ centroids.T
+        top = np.argsort(-sims, axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(top))
+
+    return cells
+
+
 def ivf_pairs(
     emb: DataFrame,
     dim: int,
@@ -92,26 +117,37 @@ def ivf_pairs(
     vec_col: str = "embedding",
     seed: int = 42,
     max_bucket: int = 100_000,
+    n_probe: int = 1,
 ) -> DataFrame:
     """IVF-bucketed near-dup pairs: coarse quantization to seeded
-    centroids, candidates within a cell (single-probe), exact cosine
+    centroids, candidates sharing any probed cell, exact cosine
     verify.  The inverted-file sibling of ``hyperplane_lsh_pairs`` —
     same id-only candidate expansion through ``bucket_pairs``, vectors
-    attached per-side after pair dedup.  Recall is bounded by the
-    cell-boundary miss rate of single-probe IVF (documented, standard);
-    the LSH variant is the recall-tunable path.
+    attached per-side after pair dedup.  ``n_probe`` is the recall
+    knob: single-probe (default) misses pairs split by a cell
+    boundary; probing the ``n_probe`` nearest cells recovers them at
+    ~``n_probe``x candidate cost (candidates are a superset of
+    single-probe's — pinned by test).
     Output: (id_a, id_b, cosine >= min_cosine, rounded to 5)."""
     from deduplicator_spark.operators.buckets import bucket_pairs
 
-    cell_udf = make_ivf_cell_udf(dim, n_cells, seed)
-    s = emb.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-        cell_udf(F.col(vec_col)).alias("cell"),
-    ).localCheckpoint()
-    cand, _overflow = bucket_pairs(
-        s.select(F.col("id").alias("url"), "cell"), ["cell"], max_bucket
-    )
+    if n_probe > 1:
+        probe_udf = make_ivf_probe_udf(dim, n_cells, seed, n_probe)
+        s = emb.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+            probe_udf(F.col(vec_col)).alias("cells"),
+        ).localCheckpoint()
+        keyed = s.select(F.col("id").alias("url"), F.explode("cells").alias("cell"))
+    else:
+        cell_udf = make_ivf_cell_udf(dim, n_cells, seed)
+        s = emb.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+            cell_udf(F.col(vec_col)).alias("cell"),
+        ).localCheckpoint()
+        keyed = s.select(F.col("id").alias("url"), "cell")
+    cand, _overflow = bucket_pairs(keyed, ["cell"], max_bucket)
     vec = s.select("id", "v")
     p = (
         cand.select(F.col("url_a").alias("id_a"), F.col("url_b").alias("id_b"))
