@@ -383,6 +383,22 @@ def q_alt_series_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filter_known_alts(df).groupBy("cluster_id").agg(F.count("*").alias("kept"))
 
 
+def q_duplicate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document segment dedup (CCNet/Falcon line-dedup analog):
+    10-word non-overlapping windows shared by >= 2 distinct docs."""
+    from deduplicator_spark.operators.segments import duplicate_segment_stats
+
+    return duplicate_segment_stats(_docs(spark, sf_dir), key="doc_id", w=10, min_docs=2)
+
+
+def q_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document duplicate word-trigram fraction (Gopher-style
+    repetition quality signal); shuffle-free per-row column algebra."""
+    from deduplicator_spark.operators.segments import intra_doc_repetition
+
+    return intra_doc_repetition(_docs(spark, sf_dir), key="doc_id", n=3)
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -417,6 +433,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_counts": q_lang_id_counts,
         "token_stats_by_lang": q_token_stats_by_lang,
         "bpe_token_stats": q_bpe_token_stats,
+        "duplicate_segments": q_duplicate_segments,
+        "ngram_repetition": q_ngram_repetition,
         "doc_fingerprints": q_doc_fingerprints,
         "rolling_fingerprints": q_rolling_fingerprints,
         "embedding_cosine_topk": q_embedding_cosine_topk,
@@ -659,6 +677,48 @@ def oracle_sql() -> dict[str, str]:
                      AS n_bpe_tokens,
                    {_NTOK} AS n_ws_tokens
             FROM documents
+        """,
+        "duplicate_segments": f"""
+            WITH w AS (
+              SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+            seg AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       generate_series(0, CAST(len(w) // 10 AS INT) - 1),
+                       i -> md5(array_to_string(w[i*10+1 : i*10+10], ' ')))) AS seg_md5
+              FROM w WHERE len(w) >= 10),
+            shared AS (
+              SELECT seg_md5 FROM seg
+              GROUP BY seg_md5 HAVING count(DISTINCT doc_id) >= 2),
+            stats AS (
+              SELECT s.doc_id,
+                     count(*) AS n_segments,
+                     CAST(sum(CASE WHEN sh.seg_md5 IS NOT NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_dup_segments
+              FROM seg s LEFT JOIN shared sh USING (seg_md5)
+              GROUP BY s.doc_id)
+            SELECT doc_id, n_segments, n_dup_segments,
+                   round(n_dup_segments / CAST(n_segments AS DOUBLE), 4)
+                     AS dup_segment_ratio
+            FROM stats WHERE n_dup_segments > 0
+        """,
+        "ngram_repetition": f"""
+            WITH w AS (
+              SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+            g AS (
+              SELECT doc_id,
+                     CAST(greatest(len(w) - 2, 0) AS BIGINT) AS n_ngrams,
+                     CAST(CASE WHEN len(w) >= 3 THEN
+                       len(list_distinct(list_transform(
+                         generate_series(1, CAST(len(w) AS INT) - 2),
+                         i -> md5(array_to_string(w[i : i+2], ' ')))))
+                       ELSE 0 END AS BIGINT) AS n_distinct_ngrams
+              FROM w)
+            SELECT doc_id, n_ngrams, n_distinct_ngrams,
+                   CASE WHEN n_ngrams <= 0 THEN 0.0
+                        ELSE round(1.0 - n_distinct_ngrams / CAST(n_ngrams AS DOUBLE), 4)
+                   END AS dup_ngram_frac
+            FROM g
         """,
         "doc_fingerprints": """
             SELECT doc_id, md5(text) AS content_md5,

@@ -43,6 +43,12 @@ from deduplicator_spark.operators.multimodal import (
     extract_media_features,
     media_near_dup_pairs,
 )
+from deduplicator_spark.operators.segments import (
+    duplicate_segment_stats,
+    intra_doc_repetition,
+    segment_hashes,
+    word_ngram_hashes,
+)
 
 __all__ = [
     "bucket_pairs",
@@ -83,4 +89,8 @@ __all__ = [
     "hyperplane_lsh_pairs",
     "extract_media_features",
     "media_near_dup_pairs",
+    "duplicate_segment_stats",
+    "intra_doc_repetition",
+    "segment_hashes",
+    "word_ngram_hashes",
 ]

@@ -1,0 +1,131 @@
+"""Segment- and n-gram-level repetition operators (training-data hygiene).
+
+Two staples of web-scale LLM data pipelines the document-level dedup
+chain does not cover:
+
+* **Cross-document segment dedup** (CCNet/Falcon line-dedup analog):
+  split each document into non-overlapping ``w``-word windows, hash each
+  window, and flag windows that occur in >= ``min_docs`` distinct
+  documents.  Per-document output = how much of the doc is boilerplate
+  shared with other docs.  Reference analog: the per-file content hash
+  grouping of dupedb.py:255-257, pushed below document granularity.
+
+* **Intra-document repetition** (Gopher-style duplicate n-gram
+  fraction, Rae et al. 2021 §A1.1): the fraction of sliding word
+  n-grams in a document that are repeats of an earlier n-gram in the
+  same document.  High values mark degenerate/spammy pages.
+
+Scale notes (100 TB): segment hashing is a per-row JVM expression
+(whole-stage codegen, no Python); the cross-doc stage is one
+map-side-combinable groupBy on a 32-byte hash plus one hash-join back —
+the same shuffle shape as the exact-dup stage.  The intra-doc operator
+is shuffle-free (pure per-row column algebra).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from deduplicator_spark.functions.text import normalize_text
+
+
+def _words(text_col: Column | str) -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(normalize_text(c), " ")
+
+
+def segment_hashes(text_col: Column | str, w: int = 10) -> Column:
+    """md5 of each non-overlapping ``w``-word window of the normalized
+    text (array<string>; empty when the doc has fewer than ``w`` words).
+
+    md5 over the joined words (not xxhash64) so a DuckDB oracle can
+    reproduce the hashes byte-for-byte.
+    """
+    words = _words(text_col)
+    n_seg = F.floor(F.size(words) / w).cast("int")
+    return F.when(n_seg <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_seg - 1),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(words, i * w + 1, w))),
+        )
+    )
+
+
+def word_ngram_hashes(text_col: Column | str, n: int = 3) -> Column:
+    """md5 of each sliding word ``n``-gram of the normalized text."""
+    words = _words(text_col)
+    k = F.size(words) - n + 1
+    return F.when(k <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, n))),
+        )
+    )
+
+
+def duplicate_segment_stats(
+    docs: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    w: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document cross-corpus boilerplate stats.
+
+    Returns ``(key, n_segments, n_dup_segments, dup_segment_ratio)`` for
+    every document with at least one segment that also appears in
+    >= ``min_docs`` distinct documents.  ``dup_segment_ratio`` is the
+    fraction of the doc's segments that are shared, rounded to 4 dp.
+    """
+    segs = docs.select(key, F.explode(segment_hashes(text_col, w)).alias("seg_md5"))
+    shared = (
+        segs.groupBy("seg_md5")
+        .agg(F.countDistinct(key).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("seg_md5", F.lit(1).alias("is_dup"))
+    )
+    marked = segs.join(shared, "seg_md5", "left")
+    return (
+        marked.groupBy(key)
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum(F.coalesce("is_dup", F.lit(0))).alias("n_dup_segments"),
+        )
+        .filter(F.col("n_dup_segments") > 0)
+        .withColumn(
+            "dup_segment_ratio",
+            F.round(F.col("n_dup_segments") / F.col("n_segments").cast("double"), 4),
+        )
+    )
+
+
+def intra_doc_repetition(
+    docs: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document duplicate word-n-gram fraction (Gopher repetition
+    signal).  Shuffle-free: every column is a JVM expression over the
+    row's own text.
+
+    Returns ``(key, n_ngrams, n_distinct_ngrams, dup_ngram_frac)`` for
+    every document; ``dup_ngram_frac`` = 1 - distinct/total (0.0 when
+    the doc is shorter than ``n`` words).
+    """
+    grams = word_ngram_hashes(text_col, n)
+    sized = docs.select(
+        key,
+        F.size(grams).cast("long").alias("n_ngrams"),
+        F.size(F.array_distinct(grams)).cast("long").alias("n_distinct_ngrams"),
+    )
+    return sized.withColumn(
+        "dup_ngram_frac",
+        F.when(F.col("n_ngrams") <= 0, F.lit(0.0)).otherwise(
+            F.round(
+                F.lit(1.0) - F.col("n_distinct_ngrams") / F.col("n_ngrams").cast("double"),
+                4,
+            )
+        ),
+    )
