@@ -399,6 +399,26 @@ def q_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return intra_doc_repetition(_docs(spark, sf_dir), key="doc_id", n=3)
 
 
+def q_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate mining: top 10-word segments by
+    distinct-document frequency (deterministic n_docs/seg_md5 order)."""
+    from deduplicator_spark.operators.segments import boilerplate_segments
+
+    return boilerplate_segments(_docs(spark, sf_dir), key="doc_id", w=10, min_docs=3, k=20)
+
+
+def q_event_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window event dedup (batch expression of streaming
+    dropDuplicatesWithinWatermark): collapse same (user_id, event_type)
+    within each 1-hour window of the events table."""
+    from deduplicator_spark.operators.windows import windowed_dedup
+
+    ev = load_table(spark, sf_dir, "events")
+    return windowed_dedup(
+        ev, time_col="ts", keys=("user_id", "event_type"), window="1 hour"
+    )
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -435,6 +455,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_stats": q_bpe_token_stats,
         "duplicate_segments": q_duplicate_segments,
         "ngram_repetition": q_ngram_repetition,
+        "boilerplate_segments": q_boilerplate_segments,
+        "event_window_dedup": q_event_window_dedup,
         "doc_fingerprints": q_doc_fingerprints,
         "rolling_fingerprints": q_rolling_fingerprints,
         "embedding_cosine_topk": q_embedding_cosine_topk,
@@ -701,6 +723,28 @@ def oracle_sql() -> dict[str, str]:
                    round(n_dup_segments / CAST(n_segments AS DOUBLE), 4)
                      AS dup_segment_ratio
             FROM stats WHERE n_dup_segments > 0
+        """,
+        "boilerplate_segments": f"""
+            WITH w AS (
+              SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+            seg AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       generate_series(0, CAST(len(w) // 10 AS INT) - 1),
+                       i -> md5(array_to_string(w[i*10+1 : i*10+10], ' ')))) AS seg_md5
+              FROM w WHERE len(w) >= 10)
+            SELECT seg_md5,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   count(*) AS n_occurrences
+            FROM seg GROUP BY seg_md5
+            HAVING count(DISTINCT doc_id) >= 3
+            ORDER BY n_docs DESC, seg_md5 ASC LIMIT 20
+        """,
+        "event_window_dedup": """
+            SELECT date_trunc('hour', ts) AS window_start, user_id, event_type,
+                   min(event_id) AS canonical_event_id, count(*) AS n_events
+            FROM events
+            GROUP BY 1, 2, 3 HAVING count(*) >= 2
         """,
         "ngram_repetition": f"""
             WITH w AS (

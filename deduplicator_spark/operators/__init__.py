@@ -44,11 +44,13 @@ from deduplicator_spark.operators.multimodal import (
     media_near_dup_pairs,
 )
 from deduplicator_spark.operators.segments import (
+    boilerplate_segments,
     duplicate_segment_stats,
     intra_doc_repetition,
     segment_hashes,
     word_ngram_hashes,
 )
+from deduplicator_spark.operators.windows import windowed_dedup
 
 __all__ = [
     "bucket_pairs",
@@ -89,8 +91,10 @@ __all__ = [
     "hyperplane_lsh_pairs",
     "extract_media_features",
     "media_near_dup_pairs",
+    "boilerplate_segments",
     "duplicate_segment_stats",
     "intra_doc_repetition",
     "segment_hashes",
     "word_ngram_hashes",
+    "windowed_dedup",
 ]

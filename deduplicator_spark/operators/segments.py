@@ -100,6 +100,37 @@ def duplicate_segment_stats(
     )
 
 
+def boilerplate_segments(
+    docs: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    w: int = 10,
+    min_docs: int = 3,
+    k: int = 20,
+) -> DataFrame:
+    """Corpus-level boilerplate mining: the top-``k`` ``w``-word segments
+    ranked by how many distinct documents contain them (nav bars,
+    cookie banners, repeated disclaimers at web scale).
+
+    Returns ``(seg_md5, n_docs, n_occurrences)`` ordered by
+    ``(n_docs DESC, seg_md5)`` — a deterministic order so the top-k cut
+    is reproducible.  One map-side-combinable groupBy; the final top-k
+    is a TakeOrderedAndProject (per-partition heap + driver merge of k
+    rows), not a global sort.
+    """
+    segs = docs.select(key, F.explode(segment_hashes(text_col, w)).alias("seg_md5"))
+    return (
+        segs.groupBy("seg_md5")
+        .agg(
+            F.countDistinct(key).alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .orderBy(F.desc("n_docs"), F.asc("seg_md5"))
+        .limit(k)
+    )
+
+
 def intra_doc_repetition(
     docs: DataFrame,
     key: str = "doc_id",

@@ -54,6 +54,43 @@ def test_duplicate_segment_stats_case_and_ws_normalized(spark):
     assert {r.doc_id for r in out} == {1, 2}
 
 
+def test_boilerplate_segments(spark):
+    from deduplicator_spark.operators.segments import boilerplate_segments
+
+    rows = [(i, SHARED + f" unique{i} " + " ".join(f"w{i}_{j}" for j in range(9)))
+            for i in range(5)]
+    # a second segment shared by only 2 docs — below min_docs=3
+    rows += [(10, "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10"),
+             (11, "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = boilerplate_segments(df, key="doc_id", w=10, min_docs=3, k=20).collect()
+    assert len(out) == 1
+    assert (out[0].n_docs, out[0].n_occurrences) == (5, 5)
+
+
+def test_windowed_dedup(spark):
+    from datetime import datetime
+
+    from deduplicator_spark.operators.windows import windowed_dedup
+
+    h = lambda hh, mm: datetime(2024, 1, 1, hh, mm)  # noqa: E731
+    rows = [
+        # two (u1, click) events in hour 0 -> dup group, canonical id 1
+        (1, h(0, 5), 1, "click"),
+        (2, h(0, 50), 1, "click"),
+        # same key in hour 1 -> separate window, singleton (dropped)
+        (3, h(1, 5), 1, "click"),
+        # different key in hour 0 -> singleton (dropped)
+        (4, h(0, 10), 2, "view"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, event_type string")
+    out = windowed_dedup(df, time_col="ts", keys=("user_id", "event_type"), window="1 hour").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.user_id, r.event_type, r.canonical_event_id, r.n_events) == (1, "click", 1, 2)
+    assert r.window_start == h(0, 0)
+
+
 def test_intra_doc_repetition(spark):
     rows = [
         (1, "a b c a b c a b c"),  # 7 trigrams, 3 distinct -> 1 - 3/7
