@@ -91,6 +91,56 @@ def test_windowed_dedup(spark):
     assert r.window_start == h(0, 0)
 
 
+def test_windowed_dedup_on_stream(spark, tmp_path):
+    """The same windowed_dedup body must run unchanged on a readStream
+    frame and agree with the batch result."""
+    from datetime import datetime
+
+    from deduplicator_spark.operators.windows import windowed_dedup
+
+    h = lambda hh, mm: datetime(2024, 1, 1, hh, mm)  # noqa: E731
+    rows = [
+        (1, h(0, 5), 1, "click"),
+        (2, h(0, 50), 1, "click"),
+        (3, h(1, 5), 1, "click"),
+        (4, h(1, 40), 1, "click"),
+        (5, h(0, 10), 2, "view"),
+        (6, h(0, 20), 2, "view"),
+        (7, h(0, 30), 2, "view"),
+    ]
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    batch_df = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "events_src")
+    batch_df.repartition(3).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "2 hours")
+    )
+    q = (
+        windowed_dedup(stream, time_col="ts", keys=("user_id", "event_type"), window="1 hour")
+        .writeStream.format("memory")
+        .queryName("wdedup_stream_test")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(tuple(r) for r in spark.table("wdedup_stream_test").collect())
+    finally:
+        q.stop()
+    want = sorted(
+        tuple(r)
+        for r in windowed_dedup(
+            batch_df, time_col="ts", keys=("user_id", "event_type"), window="1 hour"
+        ).collect()
+    )
+    assert got == want
+    assert len(got) == 3  # (u1 h0), (u1 h1), (u2 h0)
+
+
 def test_intra_doc_repetition(spark):
     rows = [
         (1, "a b c a b c a b c"),  # 7 trigrams, 3 distinct -> 1 - 3/7
