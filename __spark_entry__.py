@@ -419,6 +419,40 @@ def q_event_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_canonical_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup: plant a messy variant of every golden-pages URL
+    (uppercased authority, :443 port, tracking params, fragment) and
+    group raw URLs by canonical form — every group must collapse to 2."""
+    from deduplicator_spark.functions.urls import url_dup_groups
+
+    pages = spark.read.parquet(GOLDEN_PAGES).select("url")
+    messy = pages.select(
+        F.concat(
+            F.upper(F.regexp_extract("url", r"^(https?://[^/]*)", 1)),
+            F.lit(":443"),
+            F.regexp_replace("url", r"^https?://[^/]*", ""),
+            F.lit("?utm_source=feed&fbclid=abc#sec1"),
+        ).alias("url")
+    )
+    return url_dup_groups(pages.unionByName(messy), "url", min_urls=2)
+
+
+def _canon_url_sql(expr: str) -> str:
+    """DuckDB expression mirroring functions.urls.canonical_url
+    step-for-step (RE2 'g' flag where Java regex replaces globally)."""
+    e = f"regexp_replace({expr}, '#.*$', '')"
+    e = f"regexp_replace({e}, '([?&])(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*', '\\1', 'g')"
+    e = f"regexp_replace({e}, '&{{2,}}', '&', 'g')"
+    e = f"regexp_replace({e}, '\\?&', '?', 'g')"
+    e = f"regexp_replace({e}, '[?&]+$', '')"
+    e = f"regexp_replace({e}, '(?i)^(https?://[^/:]*):(80|443)(/|$)', '\\1\\3')"
+    e = (
+        f"lower(regexp_extract({e}, '(?i)^(https?://[^/]*)', 1)) || "
+        f"regexp_replace({e}, '(?i)^https?://[^/]*', '')"
+    )
+    return f"regexp_replace({e}, '/index\\.html?$', '/')"
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -457,6 +491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_repetition": q_ngram_repetition,
         "boilerplate_segments": q_boilerplate_segments,
         "event_window_dedup": q_event_window_dedup,
+        "url_canonical_dups": q_url_canonical_dups,
         "doc_fingerprints": q_doc_fingerprints,
         "rolling_fingerprints": q_rolling_fingerprints,
         "embedding_cosine_topk": q_embedding_cosine_topk,
@@ -745,6 +780,20 @@ def oracle_sql() -> dict[str, str]:
                    min(event_id) AS canonical_event_id, count(*) AS n_events
             FROM events
             GROUP BY 1, 2, 3 HAVING count(*) >= 2
+        """,
+        "url_canonical_dups": f"""
+            WITH raw AS (
+              SELECT url FROM read_parquet('{GOLDEN_PAGES}')
+              UNION ALL
+              SELECT upper(regexp_extract(url, '^(https?://[^/]*)', 1)) || ':443' ||
+                     regexp_replace(url, '^https?://[^/]*', '') ||
+                     '?utm_source=feed&fbclid=abc#sec1'
+              FROM read_parquet('{GOLDEN_PAGES}'))
+            SELECT {_canon_url_sql('url')} AS canonical_url,
+                   count(*) AS n_urls,
+                   CAST(count(DISTINCT url) AS BIGINT) AS n_distinct_raw
+            FROM raw
+            GROUP BY 1 HAVING count(*) >= 2
         """,
         "ngram_repetition": f"""
             WITH w AS (

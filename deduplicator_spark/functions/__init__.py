@@ -5,8 +5,11 @@ from deduplicator_spark.functions.fingerprints import (
     minhash_py,
 )
 from deduplicator_spark.functions.text import normalize_text, token_count, char_ngrams_hashed
+from deduplicator_spark.functions.urls import canonical_url, url_dup_groups
 
 __all__ = [
+    "canonical_url",
+    "url_dup_groups",
     "FINGERPRINT_STRUCT",
     "make_fingerprint_udf",
     "shingle_set_py",
