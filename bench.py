@@ -175,10 +175,21 @@ def main() -> None:
 
     timed("q5_full_pipeline", q5, runs=2)
 
-    # q1b is an alternate verify shape of q1 (reported per-query), not
-    # extra pipeline work — keep the headline total comparable across
-    # rounds by excluding it
-    total = round(sum(v for k, v in timings.items() if k != "q1b_lsh_dedup_recompute"), 3)
+    # q6: segment-level dedup (10-word windows shared across docs) over
+    # the same corpus — the CCNet/Falcon line-dedup analog
+    def q6():
+        from deduplicator_spark.operators.segments import duplicate_segment_stats
+
+        pages = spark.read.parquet(corpus).repartition(cpus * 3)
+        return duplicate_segment_stats(pages, key="url", w=10, min_docs=2).count()
+
+    timed("q6_segment_dedup", q6, runs=2)
+
+    # q1b is an alternate verify shape of q1 and q6 is a new op added
+    # after BASELINE.md was frozen — keep the headline total comparable
+    # across rounds by excluding both
+    _extra = {"q1b_lsh_dedup_recompute", "q6_segment_dedup"}
+    total = round(sum(v for k, v in timings.items() if k not in _extra), 3)
     result = {
         "metric": "e2e_near_dup_dedup",
         "value": total,
