@@ -437,6 +437,14 @@ def q_url_canonical_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dup_groups(pages.unionByName(messy), "url", min_urls=2)
 
 
+def q_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based quality filter with named reasons (token bounds,
+    mean word length, duplicate-trigram cap)."""
+    from deduplicator_spark.operators.segments import gopher_quality_filter
+
+    return gopher_quality_filter(_docs(spark, sf_dir), key="doc_id")
+
+
 def _canon_url_sql(expr: str) -> str:
     """DuckDB expression mirroring functions.urls.canonical_url
     step-for-step (RE2 'g' flag where Java regex replaces globally)."""
@@ -492,6 +500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_segments": q_boilerplate_segments,
         "event_window_dedup": q_event_window_dedup,
         "url_canonical_dups": q_url_canonical_dups,
+        "gopher_quality_filter": q_gopher_quality_filter,
         "doc_fingerprints": q_doc_fingerprints,
         "rolling_fingerprints": q_rolling_fingerprints,
         "embedding_cosine_topk": q_embedding_cosine_topk,
@@ -794,6 +803,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT url) AS BIGINT) AS n_distinct_raw
             FROM raw
             GROUP BY 1 HAVING count(*) >= 2
+        """,
+        "gopher_quality_filter": f"""
+            WITH w AS (
+              SELECT doc_id, {_NORM} AS norm, string_split({_NORM}, ' ') AS w
+              FROM documents),
+            m AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN length(norm) = 0 THEN 0 ELSE len(w) END
+                          AS BIGINT) AS n_tok,
+                     length(norm) AS n_chars,
+                     CAST(greatest(len(w) - 2, 0) AS BIGINT) AS n_ngrams,
+                     CAST(CASE WHEN len(w) >= 3 THEN
+                       len(list_distinct(list_transform(
+                         generate_series(1, CAST(len(w) AS INT) - 2),
+                         i -> md5(array_to_string(w[i : i+2], ' ')))))
+                       ELSE 0 END AS BIGINT) AS n_distinct
+              FROM w),
+            r AS (
+              SELECT doc_id, n_tok,
+                     CASE WHEN n_tok > 0
+                          THEN round((n_chars - (n_tok - 1)) / CAST(n_tok AS DOUBLE), 4)
+                          ELSE 0.0 END AS mean_word_len,
+                     CASE WHEN n_ngrams <= 0 THEN 0.0
+                          ELSE round(1.0 - n_distinct / CAST(n_ngrams AS DOUBLE), 4)
+                     END AS dup_ngram_frac
+              FROM m)
+            SELECT doc_id, n_tok, mean_word_len, dup_ngram_frac,
+                   concat_ws(',',
+                     CASE WHEN n_tok < 50 THEN 'too_short' END,
+                     CASE WHEN n_tok > 100000 THEN 'too_long' END,
+                     CASE WHEN n_tok > 0 AND (mean_word_len < 3.0 OR mean_word_len > 10.0)
+                          THEN 'word_length' END,
+                     CASE WHEN dup_ngram_frac > 0.5 THEN 'repetition' END) AS reasons,
+                   concat_ws(',',
+                     CASE WHEN n_tok < 50 THEN 'too_short' END,
+                     CASE WHEN n_tok > 100000 THEN 'too_long' END,
+                     CASE WHEN n_tok > 0 AND (mean_word_len < 3.0 OR mean_word_len > 10.0)
+                          THEN 'word_length' END,
+                     CASE WHEN dup_ngram_frac > 0.5 THEN 'repetition' END) = '' AS keep
+            FROM r
         """,
         "ngram_repetition": f"""
             WITH w AS (

@@ -45,6 +45,7 @@ from deduplicator_spark.operators.multimodal import (
 )
 from deduplicator_spark.operators.segments import (
     boilerplate_segments,
+    gopher_quality_filter,
     duplicate_segment_stats,
     intra_doc_repetition,
     segment_hashes,
@@ -93,6 +94,7 @@ __all__ = [
     "media_near_dup_pairs",
     "boilerplate_segments",
     "duplicate_segment_stats",
+    "gopher_quality_filter",
     "intra_doc_repetition",
     "segment_hashes",
     "word_ngram_hashes",

@@ -100,6 +100,75 @@ def duplicate_segment_stats(
     )
 
 
+def gopher_quality_filter(
+    docs: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_word_len: float = 3.0,
+    max_word_len: float = 10.0,
+    max_dup_ngram_frac: float = 0.5,
+    n: int = 3,
+) -> DataFrame:
+    """Gopher-style rule-based quality filter (Rae et al. 2021 §A1.1):
+    token-count bounds, mean-word-length bounds, and an intra-doc
+    duplicate-trigram cap, each reported by name so a dropped doc says
+    why.  Shuffle-free per-row JVM column algebra.
+
+    Returns ``(key, n_tok, mean_word_len, dup_ngram_frac, keep,
+    reasons)`` — ``reasons`` is a comma-joined list of violated rules in
+    fixed order; ``keep`` is true iff it's empty.  Thresholds compare
+    the ROUNDED metrics so an oracle reproducing the rounding makes
+    identical decisions.
+    """
+    c = F.col(text_col)
+    norm = normalize_text(c)
+    nt = F.when(F.length(norm) == 0, F.lit(0)).otherwise(F.size(F.split(norm, " "))).cast("long")
+    grams = word_ngram_hashes(c, n)
+    sized = docs.select(
+        key,
+        nt.alias("n_tok"),
+        F.length(norm).alias("_n_chars"),
+        F.size(grams).cast("long").alias("_n_ngrams"),
+        F.size(F.array_distinct(grams)).cast("long").alias("_n_distinct"),
+    )
+    mean_wl = F.when(
+        F.col("n_tok") > 0,
+        F.round(
+            (F.col("_n_chars") - (F.col("n_tok") - 1)) / F.col("n_tok").cast("double"), 4
+        ),
+    ).otherwise(F.lit(0.0))
+    dup_frac = F.when(F.col("_n_ngrams") <= 0, F.lit(0.0)).otherwise(
+        F.round(
+            F.lit(1.0) - F.col("_n_distinct") / F.col("_n_ngrams").cast("double"), 4
+        )
+    )
+    metered = sized.select(
+        key,
+        "n_tok",
+        mean_wl.alias("mean_word_len"),
+        dup_frac.alias("dup_ngram_frac"),
+    )
+    reasons = F.concat_ws(
+        ",",
+        F.when(F.col("n_tok") < min_tokens, F.lit("too_short")),
+        F.when(F.col("n_tok") > max_tokens, F.lit("too_long")),
+        F.when(
+            (F.col("n_tok") > 0)
+            & (
+                (F.col("mean_word_len") < min_word_len)
+                | (F.col("mean_word_len") > max_word_len)
+            ),
+            F.lit("word_length"),
+        ),
+        F.when(F.col("dup_ngram_frac") > max_dup_ngram_frac, F.lit("repetition")),
+    )
+    return metered.withColumn("reasons", reasons).withColumn(
+        "keep", F.col("reasons") == ""
+    )
+
+
 def boilerplate_segments(
     docs: DataFrame,
     key: str = "doc_id",

@@ -54,6 +54,24 @@ def test_duplicate_segment_stats_case_and_ws_normalized(spark):
     assert {r.doc_id for r in out} == {1, 2}
 
 
+def test_gopher_quality_filter(spark):
+    from deduplicator_spark.operators.segments import gopher_quality_filter
+
+    rows = [
+        (1, " ".join(f"word{i}" for i in range(60))),  # clean -> keep
+        (2, "short doc only"),  # too_short
+        (3, " ".join("ab cd".split() * 40)),  # short words + repetition
+        (4, " ".join(["pneumonoultramicroscopic"] * 60)),  # long words + repetition
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in gopher_quality_filter(df, key="doc_id").collect()}
+    assert out[1].keep and out[1].reasons == ""
+    assert not out[2].keep and out[2].reasons == "too_short"
+    assert out[3].reasons == "word_length,repetition"
+    assert out[4].reasons == "word_length,repetition"
+    assert out[4].mean_word_len == pytest.approx(24.0)
+
+
 def test_boilerplate_segments(spark):
     from deduplicator_spark.operators.segments import boilerplate_segments
 
