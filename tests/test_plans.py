@@ -105,3 +105,52 @@ def test_lsh_band_explode_stays_jvm(spark, small_pages, cfg):
     plan = _plan(band_explode(fp, cfg))
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan, f"banding fell back to Python: {marker}"
+
+
+def test_segment_dedup_sheds_text_before_shuffle(spark):
+    """duplicate_segment_stats: the document text must not cross the
+    seg_md5 exchanges — only the key and the 32-byte hash shuffle."""
+    import re
+
+    from deduplicator_spark.operators.segments import duplicate_segment_stats
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(duplicate_segment_stats(docs, key="doc_id"))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, f"segment hashing fell back to Python: {marker}"
+    blocks = re.findall(
+        r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]", plan
+    )
+    assert blocks, "no exchanges found — plan shape changed?"
+    for inp in blocks:
+        assert not re.search(r"\btext#", inp), f"text crosses an exchange: {inp}"
+    # map-side partial aggregation before the exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_gopher_filter_is_shuffle_free(spark):
+    """gopher_quality_filter is pure per-row column algebra: no
+    exchange, no Python eval, one codegen span over the scan."""
+    from deduplicator_spark.operators.segments import gopher_quality_filter
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(gopher_quality_filter(docs, key="doc_id"))
+    assert "Exchange" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+    # formatted mode marks whole-stage codegen spans with [codegen id : N]
+    assert "codegen id" in plan
+
+
+def test_url_dedup_prunes_and_partial_aggs(spark):
+    """url_dup_groups: scan reads only the url column; the canonical
+    groupBy partial-aggregates map-side; everything stays JVM."""
+    from deduplicator_spark.functions.urls import url_dup_groups
+
+    pages = spark.read.parquet("tests/golden/pages_n500_s42.parquet").select("url")
+    plan = _plan(url_dup_groups(pages, "url"))
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "url" in read_schema and "html" not in read_schema and "text" not in read_schema
+    assert plan.count("HashAggregate") >= 2
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
