@@ -445,6 +445,20 @@ def q_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_quality_filter(_docs(spark, sf_dir), key="doc_id")
 
 
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: probe set = the word-8-grams of every
+    97th document (a stand-in eval suite); flag all docs containing any
+    probe n-gram."""
+    from deduplicator_spark.operators.segments import contamination_check, word_ngram_hashes
+
+    docs = _docs(spark, sf_dir)
+    probes = (
+        docs.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode(word_ngram_hashes("text", 8)).alias("gram_md5"))
+    )
+    return contamination_check(docs, probes, key="doc_id", n=8)
+
+
 def _canon_url_sql(expr: str) -> str:
     """DuckDB expression mirroring functions.urls.canonical_url
     step-for-step (RE2 'g' flag where Java regex replaces globally)."""
@@ -501,6 +515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_window_dedup": q_event_window_dedup,
         "url_canonical_dups": q_url_canonical_dups,
         "gopher_quality_filter": q_gopher_quality_filter,
+        "contamination_check": q_contamination_check,
         "doc_fingerprints": q_doc_fingerprints,
         "rolling_fingerprints": q_rolling_fingerprints,
         "embedding_cosine_topk": q_embedding_cosine_topk,
@@ -803,6 +818,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT url) AS BIGINT) AS n_distinct_raw
             FROM raw
             GROUP BY 1 HAVING count(*) >= 2
+        """,
+        "contamination_check": f"""
+            WITH w AS (
+              SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       generate_series(1, CAST(len(w) AS INT) - 7),
+                       i -> md5(array_to_string(w[i : i+7], ' ')))) AS gram_md5
+              FROM w WHERE len(w) >= 8),
+            probes AS (
+              SELECT DISTINCT gram_md5 FROM grams WHERE doc_id % 97 = 0)
+            SELECT g.doc_id,
+                   count(*) AS n_matched_ngrams,
+                   CAST(count(DISTINCT g.gram_md5) AS BIGINT) AS n_distinct_probes
+            FROM grams g JOIN probes p USING (gram_md5)
+            GROUP BY g.doc_id
         """,
         "gopher_quality_filter": f"""
             WITH w AS (

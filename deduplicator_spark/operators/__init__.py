@@ -45,6 +45,7 @@ from deduplicator_spark.operators.multimodal import (
 )
 from deduplicator_spark.operators.segments import (
     boilerplate_segments,
+    contamination_check,
     gopher_quality_filter,
     duplicate_segment_stats,
     intra_doc_repetition,
@@ -93,6 +94,7 @@ __all__ = [
     "extract_media_features",
     "media_near_dup_pairs",
     "boilerplate_segments",
+    "contamination_check",
     "duplicate_segment_stats",
     "gopher_quality_filter",
     "intra_doc_repetition",

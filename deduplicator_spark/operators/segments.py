@@ -100,6 +100,37 @@ def duplicate_segment_stats(
     )
 
 
+def contamination_check(
+    docs: DataFrame,
+    probes: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag documents containing any word
+    ``n``-gram from a probe set (the eval-suite n-grams a training
+    corpus must not leak).
+
+    ``probes`` must have a ``gram_md5`` column (build it with
+    ``word_ngram_hashes`` over the benchmark text).  Probe sets are
+    small relative to the corpus (a full eval suite is ~10^6 n-grams),
+    so the containment join broadcasts the probes — the corpus side
+    never shuffles; each partition streams its grams past an in-memory
+    hash set.
+
+    Returns ``(key, n_matched_ngrams, n_distinct_probes)`` for
+    documents with at least one hit.
+    """
+    grams = docs.select(key, F.explode(word_ngram_hashes(text_col, n)).alias("gram_md5"))
+    hits = grams.join(
+        F.broadcast(probes.select("gram_md5").distinct()), "gram_md5"
+    )
+    return hits.groupBy(key).agg(
+        F.count("*").alias("n_matched_ngrams"),
+        F.countDistinct("gram_md5").alias("n_distinct_probes"),
+    )
+
+
 def gopher_quality_filter(
     docs: DataFrame,
     key: str = "doc_id",

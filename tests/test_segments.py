@@ -54,6 +54,26 @@ def test_duplicate_segment_stats_case_and_ws_normalized(spark):
     assert {r.doc_id for r in out} == {1, 2}
 
 
+def test_contamination_check(spark):
+    from deduplicator_spark.operators.segments import contamination_check, word_ngram_hashes
+    from pyspark.sql import functions as F2
+
+    bench = "q1 q2 q3 q4 q5 q6 q7 q8"  # the "benchmark" text: one 8-gram
+    rows = [
+        (1, bench + " extra trailing words here"),  # contains the probe
+        (2, "clean doc with none of the probe grams inside it"),
+        (3, bench),  # exactly the probe
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    probes = spark.createDataFrame([(bench,)], "text string").select(
+        F2.explode(word_ngram_hashes("text", 8)).alias("gram_md5")
+    )
+    out = {r.doc_id: r for r in contamination_check(docs, probes, key="doc_id", n=8).collect()}
+    assert set(out) == {1, 3}
+    assert (out[3].n_matched_ngrams, out[3].n_distinct_probes) == (1, 1)
+    assert out[1].n_distinct_probes == 1
+
+
 def test_gopher_quality_filter(spark):
     from deduplicator_spark.operators.segments import gopher_quality_filter
 
