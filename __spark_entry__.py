@@ -346,6 +346,20 @@ def q_undo_script(spark: SparkSession, sf_dir: str) -> DataFrame:
     return undo_script(q_pipeline_actions(spark, sf_dir))
 
 
+def q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup impact report: docs and characters per pipeline action —
+    what a retention policy saves at corpus scale.  Oracled by wrapping
+    the pipeline_actions SQL."""
+    actions = q_pipeline_actions(spark, sf_dir)
+    pages = spark.read.parquet(GOLDEN_PAGES).select(
+        "url", F.length("text").alias("n_chars")
+    )
+    return actions.join(pages, "url").groupBy("op").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
 def q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suffix-array substring pass (winnowing anchors guarantee recall
     1.0 for matches >= min_len).  Oracled against a committed golden
@@ -527,6 +541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_pairs": q_ann_ivf_pairs,
         "pipeline_actions": q_pipeline_actions,
         "undo_script": q_undo_script,
+        "dedup_savings": q_dedup_savings,
         "alt_series_filter": q_alt_series_filter,
         "substring_pairs": q_substring_pairs,
         "media_features": q_media_features,
@@ -1035,4 +1050,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE op = 'delete'
         """,
         "alt_series_filter": _alt_series_filter_sql(),
+        "dedup_savings": f"""
+            SELECT t.op, count(*) AS n_docs,
+                   CAST(sum(length(p.text)) AS BIGINT) AS total_chars
+            FROM ({_pipeline_actions_sql()}) t
+            JOIN read_parquet('{GOLDEN_PAGES}') p USING (url)
+            GROUP BY t.op
+        """,
     }
