@@ -38,6 +38,36 @@ def test_canonical_url(canon, raw, want):
     assert canon[raw] == want
 
 
+def test_canonical_url_idempotent_fuzz(spark):
+    """canonical(canonical(u)) == canonical(u) over 500 seeded-random
+    URLs mixing case, ports, tracking params, fragments, and junk."""
+    import random
+
+    rng = random.Random(42)
+    schemes = ["http://", "https://", "HTTPS://", "HtTp://"]
+    hosts = ["ex.com", "EX.com", "a.b.example.org", "X9.net"]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["/", "/a/b.html", "/x/index.html", "/p%20q", ""]
+    queries = ["", "?id=1", "?utm_source=x", "?a=1&utm_b=2&c=3", "?utm_a=1&utm_b=2", "?a=1&&b=2"]
+    frags = ["", "#f", "#utm_x=1"]
+    urls = [
+        rng.choice(schemes) + rng.choice(hosts) + rng.choice(ports)
+        + rng.choice(paths) + rng.choice(queries) + rng.choice(frags)
+        for _ in range(500)
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = canonical_url("url")
+    import pyspark.sql.functions as F
+
+    bad = (
+        df.select("url", once.alias("c1"))
+        .select("url", "c1", canonical_url(F.col("c1")).alias("c2"))
+        .filter(F.col("c1") != F.col("c2"))
+        .collect()
+    )
+    assert not bad, bad[:5]
+
+
 def test_url_dup_groups(spark):
     urls = [
         "https://a.com/p",
