@@ -473,6 +473,14 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_check(docs, probes, key="doc_id", n=8)
 
 
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard writer accounting: deterministic md5-derived
+    shard per doc, (n_docs, total_chars) per shard."""
+    from deduplicator_spark.sources.shards import shard_manifest
+
+    return shard_manifest(_docs(spark, sf_dir), key="doc_id", n_shards=10)
+
+
 def _canon_url_sql(expr: str) -> str:
     """DuckDB expression mirroring functions.urls.canonical_url
     step-for-step (RE2 'g' flag where Java regex replaces globally)."""
@@ -530,6 +538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical_dups": q_url_canonical_dups,
         "gopher_quality_filter": q_gopher_quality_filter,
         "contamination_check": q_contamination_check,
+        "shard_manifest": q_shard_manifest,
         "doc_fingerprints": q_doc_fingerprints,
         "rolling_fingerprints": q_rolling_fingerprints,
         "embedding_cosine_topk": q_embedding_cosine_topk,
@@ -833,6 +842,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT url) AS BIGINT) AS n_distinct_raw
             FROM raw
             GROUP BY 1 HAVING count(*) >= 2
+        """,
+        "shard_manifest": """
+            SELECT (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256
+                    + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 10 AS shard,
+                   count(*) AS n_docs,
+                   CAST(sum(length(text)) AS BIGINT) AS total_chars
+            FROM documents GROUP BY 1
         """,
         "contamination_check": f"""
             WITH w AS (

@@ -7,8 +7,16 @@ from deduplicator_spark.sources.pages import (
 )
 from deduplicator_spark.sources.loaders import load_table, load_documents_as_pages
 from deduplicator_spark.sources.extract import extract_text
+from deduplicator_spark.sources.shards import (
+    shard_assignment,
+    shard_manifest,
+    write_training_shards,
+)
 
 __all__ = [
+    "shard_assignment",
+    "shard_manifest",
+    "write_training_shards",
     "PAGES_SCHEMA",
     "TRUTH_SCHEMA",
     "synth_pages",

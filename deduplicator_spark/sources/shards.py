@@ -1,0 +1,65 @@
+"""Training-shard writer sink: deterministic hash sharding + manifest.
+
+The last stage of a data pipeline writes the cleaned corpus as N
+shards a trainer can stream independently.  Shard assignment must be
+deterministic (re-runs land docs in the same shard) and
+engine-independent (so an oracle can reproduce it): we derive the
+bucket from two md5 hex characters via ``ascii()`` — both Spark and
+DuckDB expose the identical primitives.
+
+Scale notes: ``partitionBy("shard")`` hash-clusters writes so each task
+appends to few shard dirs; the manifest is one map-side-combinable
+groupBy.  At 100 TB pick n_shards so each shard is a few GB
+(n_shards ~ corpus_bytes / 4e9), and repartition by shard before the
+write so every output file belongs to one shard.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def shard_assignment(col: Column | str, n_shards: int) -> Column:
+    """Deterministic shard in [0, n_shards) from the md5 of the key.
+
+    bucket = (ascii(hex[0]) * 256 + ascii(hex[1])) % n_shards — chosen
+    over xxhash64/crc32 because DuckDB reproduces md5+ascii exactly.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.md5(c.cast("string"))
+    return (
+        (F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1)))
+        % n_shards
+    ).cast("int")
+
+
+def shard_manifest(
+    df: DataFrame, key: str = "doc_id", text_col: str = "text", n_shards: int = 10
+) -> DataFrame:
+    """Per-shard accounting: ``(shard, n_docs, total_chars)``."""
+    return (
+        df.select(shard_assignment(key, n_shards).alias("shard"), F.length(text_col).alias("_n"))
+        .groupBy("shard")
+        .agg(F.count("*").alias("n_docs"), F.sum("_n").alias("total_chars"))
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    key: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 10,
+) -> DataFrame:
+    """Write ``df`` as ``path/shard=K/*.parquet`` and return the
+    manifest.  Repartitions by shard first so each output file belongs
+    to exactly one shard directory."""
+    sharded = df.withColumn("shard", shard_assignment(key, n_shards))
+    sharded.repartition("shard").write.mode("overwrite").partitionBy("shard").parquet(path)
+    spark = df.sparkSession
+    manifest = shard_manifest(df, key=key, text_col=text_col, n_shards=n_shards)
+    manifest.write.mode("overwrite").parquet(os.path.join(path + "_manifest"))
+    return spark.read.parquet(os.path.join(path + "_manifest"))
