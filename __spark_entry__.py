@@ -481,6 +481,70 @@ def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_manifest(_docs(spark, sf_dir), key="doc_id", n_shards=10)
 
 
+_PII_PLANT = " contact bob@example.com at 10.0.0.1 or +1 555 123 4567"
+
+
+def q_pii_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection/redaction accounting: plant an email+IP+phone
+    suffix on every 7th doc (the corpus has none naturally), report
+    counts and redacted length for docs with hits."""
+    from deduplicator_spark.functions.pii import pii_report
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(_PII_PLANT))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return pii_report(docs, key="doc_id")
+
+
+def _pii_report_sql() -> str:
+    from deduplicator_spark.functions.pii import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    redacted = "text"
+    for pat, token in ((EMAIL_RE, "<EMAIL>"), (IPV4_RE, "<IP>"), (PHONE_RE, "<PHONE>")):
+        redacted = "regexp_replace(" + redacted + ", '" + pat + "', '" + token + "', 'g')"
+    counts = {
+        "n_emails": EMAIL_RE,
+        "n_ips": IPV4_RE,
+        "n_phones": PHONE_RE,
+    }
+    count_cols = ",\n                   ".join(
+        "CAST(len(regexp_extract_all(text, '" + pat + "', 0)) AS BIGINT) AS " + name
+        for name, pat in counts.items()
+    )
+    return (
+        """
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0 THEN text || '"""
+        + _PII_PLANT
+        + """' ELSE text END AS text
+              FROM documents)
+            SELECT doc_id,
+                   """
+        + count_cols
+        + """,
+                   length("""
+        + redacted
+        + """) AS redacted_len
+            FROM d
+            WHERE len(regexp_extract_all(text, '"""
+        + EMAIL_RE
+        + """', 0))
+                + len(regexp_extract_all(text, '"""
+        + IPV4_RE
+        + """', 0))
+                + len(regexp_extract_all(text, '"""
+        + PHONE_RE
+        + """', 0)) > 0
+        """
+    )
+
+
 def _canon_url_sql(expr: str) -> str:
     """DuckDB expression mirroring functions.urls.canonical_url
     step-for-step (RE2 'g' flag where Java regex replaces globally)."""
@@ -539,6 +603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality_filter": q_gopher_quality_filter,
         "contamination_check": q_contamination_check,
         "shard_manifest": q_shard_manifest,
+        "pii_report": q_pii_report,
         "doc_fingerprints": q_doc_fingerprints,
         "rolling_fingerprints": q_rolling_fingerprints,
         "embedding_cosine_topk": q_embedding_cosine_topk,
@@ -843,6 +908,7 @@ def oracle_sql() -> dict[str, str]:
             FROM raw
             GROUP BY 1 HAVING count(*) >= 2
         """,
+        "pii_report": _pii_report_sql(),
         "shard_manifest": """
             SELECT (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256
                     + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 10 AS shard,
