@@ -561,6 +561,41 @@ def _canon_url_sql(expr: str) -> str:
     return f"regexp_replace({e}, '/index\\.html?$', '/')"
 
 
+def _tuning_sql() -> str:
+    from deduplicator_spark.functions.tuning import collision_curve_sql
+
+    return collision_curve_sql(CFG.bands, CFG.rows_per_band)
+
+
+def q_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic prune (operators/semdedup.py): sign-LSH
+    cells over the golden-pinned hyperplane signature, min-id
+    representative, cosine-prune decision per non-representative.
+    min_cosine=0.3 exercises both actions on the sf0.01 fixture."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from deduplicator_spark.operators.semdedup import semantic_prune
+
+    return semantic_prune(emb, dim=64, min_cosine=0.3)
+
+
+def q_domain_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k distinct-text estimate per source domain
+    (functions/sketches.py) — engine-independent md5-derived 60-bit
+    hash, so the whole estimator replays in DuckDB."""
+    from deduplicator_spark.functions.sketches import kmv_distinct
+
+    return kmv_distinct(_docs(spark, sf_dir), "source", "text", k=16)
+
+
+def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The configured LSH S-curve (functions/tuning.py), computed with
+    multiplication-only chains so Spark and the oracle agree
+    bit-for-bit on every double."""
+    from deduplicator_spark.functions.tuning import collision_curve
+
+    return collision_curve(spark, CFG.bands, CFG.rows_per_band)
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -619,6 +654,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alt_series_filter": q_alt_series_filter,
         "substring_pairs": q_substring_pairs,
         "media_features": q_media_features,
+        "semantic_prune": q_semantic_prune,
+        "domain_distinct_kmv": q_domain_distinct_kmv,
+        "lsh_tuning": q_lsh_tuning,
     }
 
 
@@ -1139,4 +1177,40 @@ def oracle_sql() -> dict[str, str]:
             JOIN read_parquet('{GOLDEN_PAGES}') p USING (url)
             GROUP BY t.op
         """,
+        "semantic_prune": f"""
+            WITH sig AS (SELECT vec_id, sig & 63 AS bucket
+                         FROM read_parquet('{GOLDEN_ANN_SIG}')),
+            reps AS (SELECT bucket, min(vec_id) AS rep_id FROM sig GROUP BY bucket),
+            mem AS (SELECT s.vec_id, s.bucket, r.rep_id
+                    FROM sig s JOIN reps r USING (bucket)
+                    WHERE s.vec_id <> r.rep_id),
+            sc AS (SELECT m.vec_id, m.bucket, m.rep_id,
+                          round(list_cosine_similarity(ev.embedding::DOUBLE[],
+                                                       er.embedding::DOUBLE[]), 5) AS cosine
+                   FROM mem m
+                   JOIN embeddings ev ON ev.vec_id = m.vec_id
+                   JOIN embeddings er ON er.vec_id = m.rep_id)
+            SELECT vec_id, bucket, rep_id, cosine,
+                   CASE WHEN cosine >= 0.3 THEN 'prune' ELSE 'keep' END AS action
+            FROM sc
+        """,
+        "domain_distinct_kmv": """
+            WITH h AS (SELECT DISTINCT source AS grp,
+                              ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+                       FROM documents),
+            r AS (SELECT grp, h,
+                         row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+                  FROM h),
+            a AS (SELECT grp, count(*) AS true_distinct,
+                         max(CASE WHEN rn <= 16 THEN h END) AS kth
+                  FROM r GROUP BY grp)
+            SELECT grp AS source, true_distinct,
+                   CAST(round(CASE WHEN true_distinct < 16
+                                   THEN CAST(true_distinct AS DOUBLE)
+                                   ELSE 15.0 * 1152921504606846976.0
+                                        / CAST(kth AS DOUBLE) END) AS BIGINT)
+                       AS kmv_estimate
+            FROM a
+        """,
+        "lsh_tuning": _tuning_sql(),
     }
