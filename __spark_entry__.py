@@ -40,6 +40,7 @@ GOLDEN_SIMHASH = os.path.join(GOLDEN_DIR, "simhash_sf001.parquet")
 GOLDEN_ANN_SIG = os.path.join(GOLDEN_DIR, "ann_sig_sf001.parquet")
 GOLDEN_IVF_CELLS = os.path.join(GOLDEN_DIR, "ivf_cells_sf001.parquet")
 GOLDEN_SUBSTRING = os.path.join(GOLDEN_DIR, "substring_pairs_n500.parquet")
+GOLDEN_SPANS = os.path.join(GOLDEN_DIR, "span_dedup_n500.parquet")
 GOLDEN_ROLLING = os.path.join(GOLDEN_DIR, "rolling_fp_sf001.parquet")
 
 # normalized-text SQL fragment shared by the oracle queries (must mirror
@@ -372,6 +373,43 @@ def q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs
 
 
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-SPAN removal (Lee et al. corpus rewrite — the step
+    beyond detecting substring pairs): per-doc covered-byte intervals
+    from shared >= 50-char substrings with any smaller-url doc, spans
+    cut, rewritten text fingerprinted.  Oracled against a committed
+    golden built from TRUE L-gram dictionaries (no hashing, no Spark;
+    tools/make_goldens.py make_span_dedup)."""
+    from deduplicator_spark.operators.spans import span_dedup
+
+    pages = spark.read.parquet(GOLDEN_PAGES).select("url", "text")
+    report, _ = span_dedup(pages, CFG)
+    return report
+
+
+def q_segment_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level corpus rewrite (CCNet/Falcon line-dedup analog):
+    shared 10-word windows cut keep-first, text rebuilt JVM-side,
+    md5-fingerprinted.  Fully SQL-expressible -> exact DuckDB oracle."""
+    from deduplicator_spark.operators.segments import remove_duplicate_segments
+
+    return remove_duplicate_segments(
+        _docs(spark, sf_dir), key="doc_id", w=10, min_docs=2
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified subsample (data-mixing stage): en docs
+    kept at 25%, everything else at 75%, membership a pure md5
+    function of doc_id so DuckDB selects the identical rows."""
+    from deduplicator_spark.sources.shards import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir), key="doc_id", strata_col="lang",
+        rates={"en": 0.25}, default_rate=0.75,
+    ).select("doc_id", "lang")
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing smoke: binary media -> feature vectors with
     quarantine semantics (decode stubbed, plumbing real)."""
@@ -653,6 +691,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_savings": q_dedup_savings,
         "alt_series_filter": q_alt_series_filter,
         "substring_pairs": q_substring_pairs,
+        "span_dedup": q_span_dedup,
+        "segment_removal": q_segment_removal,
+        "stratified_sample": q_stratified_sample,
         "media_features": q_media_features,
         "semantic_prune": q_semantic_prune,
         "domain_distinct_kmv": q_domain_distinct_kmv,
@@ -1151,6 +1192,49 @@ def oracle_sql() -> dict[str, str]:
         """,
         "substring_pairs": f"""
             SELECT url_a, url_b, matched_len FROM read_parquet('{GOLDEN_SUBSTRING}')
+        """,
+        "span_dedup": f"""
+            SELECT url, orig_len, covered_chars, n_spans, clean_len, clean_md5
+            FROM read_parquet('{GOLDEN_SPANS}')
+        """,
+        "segment_removal": f"""
+            WITH w AS (
+              SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+            m AS (
+              SELECT doc_id, w, CAST(len(w) // 10 AS INT) AS n_seg FROM w),
+            seg AS (
+              SELECT doc_id,
+                     unnest(generate_series(0, n_seg - 1)) AS idx,
+                     unnest(list_transform(generate_series(0, n_seg - 1),
+                            i -> md5(array_to_string(w[i*10+1 : i*10+10], ' ')))) AS seg_md5
+              FROM m WHERE n_seg > 0),
+            shared AS (
+              SELECT seg_md5, min(doc_id) AS first_key FROM seg
+              GROUP BY seg_md5 HAVING count(DISTINCT doc_id) >= 2),
+            rm AS (
+              SELECT s.doc_id, list(s.idx) AS removed, count(*) AS n_removed
+              FROM seg s JOIN shared sh USING (seg_md5)
+              WHERE s.doc_id <> sh.first_key
+              GROUP BY s.doc_id),
+            rebuilt AS (
+              SELECT m.doc_id,
+                     CAST(m.n_seg AS BIGINT) AS n_segments,
+                     CAST(coalesce(r.n_removed, 0) AS BIGINT) AS n_removed,
+                     coalesce(array_to_string(
+                       coalesce(flatten(list_transform(
+                         list_filter(generate_series(0, m.n_seg - 1),
+                                     i -> NOT list_contains(coalesce(r.removed, []), i)),
+                         i -> m.w[i*10+1 : i*10+10])), [])
+                       || m.w[m.n_seg*10+1 :], ' '), '') AS clean
+              FROM m LEFT JOIN rm r USING (doc_id))
+            SELECT doc_id, n_segments, n_removed,
+                   length(clean) AS clean_len, md5(clean) AS clean_md5
+            FROM rebuilt
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000
+                  < CASE WHEN lang = 'en' THEN 2500 ELSE 7500 END
         """,
         "rolling_fingerprints": f"""
             SELECT doc_id, n_anchors, min_anchor, anchor_xor

@@ -43,8 +43,10 @@ from deduplicator_spark.operators.multimodal import (
     extract_media_features,
     media_near_dup_pairs,
 )
+from deduplicator_spark.operators.spans import span_dedup
 from deduplicator_spark.operators.segments import (
     boilerplate_segments,
+    remove_duplicate_segments,
     contamination_check,
     gopher_quality_filter,
     duplicate_segment_stats,
@@ -56,6 +58,8 @@ from deduplicator_spark.operators.windows import windowed_dedup
 
 __all__ = [
     "bucket_pairs",
+    "span_dedup",
+    "remove_duplicate_segments",
     "apply_keep_overrides",
     "clusters_report",
     "degenerate_guard",

@@ -231,6 +231,92 @@ def boilerplate_segments(
     )
 
 
+def remove_duplicate_segments(
+    docs: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    w: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Segment-level corpus REWRITE (CCNet/Falcon line-dedup analog,
+    the segment sibling of operators/spans.py): every non-overlapping
+    ``w``-word window that occurs in >= ``min_docs`` distinct documents
+    is cut from every document EXCEPT the one with the smallest key
+    (keep-first — the first occurrence survives, all its own repeats
+    included).  The document is rebuilt from its kept windows plus the
+    sub-window tail, space-joined.
+
+    Returns one row per document:
+    ``(key, n_segments, n_removed, clean_len, clean_md5)`` where
+    ``clean_md5``/``clean_len`` describe the rewritten normalized text.
+
+    Scale shape: one map-side-combinable groupBy on the 32-byte segment
+    hash (min(key) + distinct count), one hash-join back on the hash,
+    one groupBy(key) collecting removed window indices (ints), and a
+    final JVM-only reconstruction — no Python in any path.
+    """
+    words = _words(text_col)
+    n_seg = F.floor(F.size(words) / w).cast("int")
+
+    segs = docs.select(
+        key, F.posexplode(segment_hashes(text_col, w)).alias("idx", "seg_md5")
+    )
+    shared = (
+        segs.groupBy("seg_md5")
+        .agg(F.countDistinct(key).alias("n_docs"), F.min(key).alias("first_key"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    removed = (
+        segs.join(shared, "seg_md5")
+        .filter(F.col(key) != F.col("first_key"))
+        .groupBy(key)
+        .agg(
+            F.sort_array(F.collect_list("idx")).alias("removed_idx"),
+            F.count("*").alias("n_removed"),
+        )
+    )
+
+    base = docs.select(key, words.alias("_w"), n_seg.alias("_n_seg"))
+    joined = base.join(removed, key, "left").select(
+        key,
+        "_w",
+        "_n_seg",
+        F.coalesce("removed_idx", F.array().cast("array<int>")).alias("_rm"),
+        F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+    )
+    kept_windows = F.flatten(
+        F.transform(
+            F.filter(
+                F.sequence(F.lit(0), F.col("_n_seg") - 1),
+                lambda i: ~F.array_contains(F.col("_rm"), i),
+            ),
+            lambda i: F.slice(F.col("_w"), i * w + 1, w),
+        )
+    )
+    tail = F.when(
+        F.size("_w") > F.col("_n_seg") * w,
+        F.slice(
+            F.col("_w"), F.col("_n_seg") * w + 1, F.size("_w") - F.col("_n_seg") * w
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    clean = F.array_join(
+        F.concat(
+            F.when(F.col("_n_seg") > 0, kept_windows).otherwise(
+                F.array().cast("array<string>")
+            ),
+            tail,
+        ),
+        " ",
+    )
+    return joined.select(
+        key,
+        F.col("_n_seg").cast("long").alias("n_segments"),
+        "n_removed",
+        F.length(clean).alias("clean_len"),
+        F.md5(clean).alias("clean_md5"),
+    )
+
+
 def intra_doc_repetition(
     docs: DataFrame,
     key: str = "doc_id",

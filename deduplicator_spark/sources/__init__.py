@@ -8,13 +8,17 @@ from deduplicator_spark.sources.pages import (
 from deduplicator_spark.sources.loaders import load_table, load_documents_as_pages
 from deduplicator_spark.sources.extract import extract_text
 from deduplicator_spark.sources.shards import (
+    sample_bucket,
     shard_assignment,
     shard_manifest,
+    stratified_sample,
     write_training_shards,
 )
 
 __all__ = [
+    "sample_bucket",
     "shard_assignment",
+    "stratified_sample",
     "shard_manifest",
     "write_training_shards",
     "PAGES_SCHEMA",

@@ -47,6 +47,43 @@ def shard_manifest(
     )
 
 
+def sample_bucket(col: Column | str, granularity: int = 10_000) -> Column:
+    """Deterministic sampling bucket in [0, granularity) from the md5
+    of the key — a 60-bit hex prefix parsed to a long, so both Spark
+    (``conv``) and DuckDB (``('0x'||hex)::BIGINT``) reproduce it
+    bit-for-bit.  Uniform enough for rate control at basis-point
+    resolution."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+    return (h % granularity).cast("int")
+
+
+def stratified_sample(
+    df: DataFrame,
+    key: str = "doc_id",
+    strata_col: str = "lang",
+    rates: dict[str, float] | None = None,
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic per-stratum subsampling — the data-mixing stage of
+    a training pipeline (e.g. downsample head languages / boilerplate
+    sources, upsample the rest) expressed so re-runs and an external
+    oracle select the IDENTICAL rows.
+
+    A row is kept iff ``sample_bucket(key) < rate(stratum) * 10000``.
+    No RNG anywhere: membership is a pure function of the key, so the
+    sample is stable across partitionings, re-runs and engines (the
+    property ``df.sample()`` cannot give).  Shuffle-free: one JVM
+    hash + compare per row, fully pushdown-friendly.
+    """
+    rate_bp = F.lit(int(round(default_rate * 10_000)))
+    for val, r in (rates or {}).items():
+        rate_bp = F.when(
+            F.col(strata_col) == val, F.lit(int(round(r * 10_000)))
+        ).otherwise(rate_bp)
+    return df.filter(sample_bucket(key) < rate_bp)
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,

@@ -259,6 +259,60 @@ def make_substring_pairs(pages_path: str) -> str:
     return out, len(rows)
 
 
+def make_span_dedup(pages_path: str, L: int = MIN_SUB_LEN) -> str:
+    """Independent duplicate-span removal golden (operators/spans.py):
+    TRUE L-byte grams in a plain dict (no rolling hashes, no Spark).
+
+    Keep-first coverage, computed exactly: byte position p of doc b is
+    covered iff the gram b[p:p+L] occurs in some doc a with url_a <
+    url_b — equivalently iff min(url of docs containing that gram) <
+    url_b.  One pass builds gram -> min url; a second marks positions.
+    """
+    import hashlib
+
+    pdf = pq.read_table(pages_path, columns=["url", "text"]).to_pandas()
+    urls = pdf["url"].tolist()
+    norm = [" ".join((t or "").lower().split()).encode("utf-8") for t in pdf["text"]]
+
+    min_url: dict[bytes, str] = {}
+    for u, nb in zip(urls, norm):
+        for j in range(len(nb) - L + 1):
+            g = nb[j : j + L]
+            if g not in min_url or u < min_url[g]:
+                min_url[g] = u
+
+    rows = []
+    for u, nb in zip(urls, norm):
+        n = len(nb)
+        covered = np.zeros(n, dtype=bool)
+        for j in range(n - L + 1):
+            if min_url[nb[j : j + L]] < u:
+                covered[j : j + L] = True
+        edges = np.flatnonzero(
+            np.diff(np.concatenate(([0], covered.view(np.int8), [0])))
+        )
+        n_spans = len(edges) // 2
+        cov = int(covered.sum())
+        clean = bytes(np.frombuffer(nb, dtype=np.uint8)[~covered]) if n else b""
+        rows.append((u, n, cov, n_spans, n - cov, hashlib.md5(clean).hexdigest()))
+
+    out = os.path.join(GOLDEN, "span_dedup_n500.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array([r[0] for r in rows], pa.string()),
+                "orig_len": pa.array([r[1] for r in rows], pa.int32()),
+                "covered_chars": pa.array([r[2] for r in rows], pa.int32()),
+                "n_spans": pa.array([r[3] for r in rows], pa.int32()),
+                "clean_len": pa.array([r[4] for r in rows], pa.int32()),
+                "clean_md5": pa.array([r[5] for r in rows], pa.string()),
+            }
+        ),
+        out,
+    )
+    return out
+
+
 def main() -> None:
     os.makedirs(GOLDEN, exist_ok=True)
     p = make_pages()
@@ -269,6 +323,7 @@ def main() -> None:
     print("rolling_fp:", make_rolling_fp())
     sub, n = make_substring_pairs(p)
     print("substring:", sub, n, "pairs")
+    print("span_dedup:", make_span_dedup(p))
 
 
 if __name__ == "__main__":
