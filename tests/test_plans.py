@@ -142,6 +142,46 @@ def test_gopher_filter_is_shuffle_free(spark):
     assert "codegen id" in plan
 
 
+def test_stratified_sample_is_shuffle_free(spark):
+    """stratified_sample: membership is one JVM hash+compare per row —
+    no exchange, no Python, and the scan never reads text."""
+    from deduplicator_spark.sources.shards import stratified_sample
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    q = stratified_sample(
+        docs, key="doc_id", strata_col="lang", rates={"en": 0.25}, default_rate=0.75
+    ).select("doc_id", "lang")
+    plan = _plan(q)
+    assert "Exchange" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" not in read_schema
+
+
+def test_segment_removal_hash_exchanges_carry_no_text(spark):
+    """remove_duplicate_segments: the seg_md5 aggregation/join
+    exchanges must shuffle only (key, idx, hash) — document words may
+    cross ONLY the final per-key rebuild join (a rewrite op's output
+    is text-sized; one text shuffle is the floor, more is a bug)."""
+    import re
+
+    from deduplicator_spark.operators.segments import remove_duplicate_segments
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(remove_duplicate_segments(docs, key="doc_id"))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, f"segment removal fell back to Python: {marker}"
+    blocks = re.findall(
+        r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]\s*\nArguments: hashpartitioning\(([^)]*)\)",
+        plan,
+    )
+    seg_exchanges = [inp for inp, keys in blocks if "seg_md5" in keys]
+    assert seg_exchanges, "no seg_md5 exchanges found — plan shape changed?"
+    for inp in seg_exchanges:
+        assert not re.search(r"\b(text|_w)#", inp), f"text crosses a seg_md5 exchange: {inp}"
+
+
 def test_url_dedup_prunes_and_partial_aggs(spark):
     """url_dup_groups: scan reads only the url column; the canonical
     groupBy partial-aggregates map-side; everything stays JVM."""
