@@ -275,6 +275,25 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cross_snapshot_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-over-snapshot dedup: docs with doc_id % 3 == 0 play the
+    incoming crawl, the rest the frozen corpus; emit (new, old) pairs
+    with token-5-gram Jaccard >= 0.8.  Asymmetric touched-bucket
+    expansion (operators/lsh.py cross_snapshot_pairs) — old-old pairs
+    never generated.  Oracled by the brute-force cross-side Jaccard
+    join in DuckDB."""
+    from deduplicator_spark.operators.lsh import cross_snapshot_pairs
+
+    fp = _docs_fp(spark, sf_dir).localCheckpoint()
+    is_new = F.col("url").cast("long") % 3 == 0
+    pairs, _ = cross_snapshot_pairs(fp.filter(is_new), fp.filter(~is_new), CFG)
+    return pairs.select(
+        F.col("url_a").cast("long").alias("id_new"),
+        F.col("url_b").cast("long").alias("id_old"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH pairs -> connected components -> cluster table.  Oracled via
     a DuckDB WITH RECURSIVE transitive closure over the same pair SQL
@@ -682,6 +701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_topk": q_embedding_cosine_topk,
         "minhash_near_dup_pairs": q_minhash_near_dup_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "cross_snapshot_pairs": q_cross_snapshot_pairs,
         "near_dup_clusters": q_near_dup_clusters,
         "simhash_candidates": q_simhash_candidates,
         "ann_lsh_pairs": q_ann_lsh_pairs,
@@ -1113,6 +1133,24 @@ def oracle_sql() -> dict[str, str]:
             FROM g a JOIN g b ON a.doc_id < b.doc_id
             WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
                   / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
+        """,
+        "cross_snapshot_pairs": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+              FROM documents),
+            s AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(toks[i:i+4], ' ')
+                                    for i in range(1, len(toks) - 3)]) AS shingles
+              FROM t WHERE len(toks) >= 5)
+            SELECT n.doc_id AS id_new, o.doc_id AS id_old,
+                   round(len(list_intersect(n.shingles, o.shingles))::DOUBLE
+                         / len(list_distinct(list_concat(n.shingles, o.shingles))), 6) AS jaccard
+            FROM s n JOIN s o
+              ON n.doc_id % 3 = 0 AND o.doc_id % 3 <> 0
+            WHERE len(list_intersect(n.shingles, o.shingles))::DOUBLE
+                  / len(list_distinct(list_concat(n.shingles, o.shingles))) >= 0.8
         """,
         # --- the seven formerly-no_oracle queries (VERDICT r1 #1) ---
         "near_dup_clusters": r"""

@@ -10,6 +10,7 @@ from deduplicator_spark.operators.filters import (
     undo_script,
 )
 from deduplicator_spark.operators.lsh import (
+    cross_snapshot_pairs,
     band_explode,
     candidate_pairs,
     estimate_jaccard,
@@ -59,6 +60,7 @@ from deduplicator_spark.operators.windows import windowed_dedup
 __all__ = [
     "bucket_pairs",
     "span_dedup",
+    "cross_snapshot_pairs",
     "remove_duplicate_segments",
     "apply_keep_overrides",
     "clusters_report",

@@ -179,6 +179,66 @@ def verify_pairs_two_stage_recompute(
     return verify_pairs_recompute(survivors, docs_text, cfg)
 
 
+def cross_snapshot_pairs(
+    new_fp: DataFrame,
+    old_fp: DataFrame,
+    cfg: DedupConfig,
+    max_bucket: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Near-dup pairs of NEW docs against a FROZEN corpus — the
+    snapshot-over-snapshot dedup every recurring crawl ingest needs
+    (dedup CC-2026 against everything already kept), batch form of the
+    touched-bucket restriction ``streaming/incremental.py`` applies per
+    micro-batch.
+
+    Both inputs are fingerprint frames (url, minhash, shingles,
+    n_shingles) with disjoint url spaces.  Output pairs are oriented
+    (url_a = new doc, url_b = old doc); old-old and new-new pairs are
+    NEVER generated.
+
+    Asymmetric by design — at 100 TB the frozen corpus is orders of
+    magnitude larger than a snapshot, so a symmetric bucket expansion
+    (quadratic in the OLD side) is the wrong shape:
+
+      1. only buckets TOUCHED by a new doc matter — the old band rows
+         are semi-joined down to those before anything heavy happens
+         (on a real corpus this prunes almost everything);
+      2. the old side of each touched bucket is capped at
+         ``max_bucket`` members (deterministic sorted prefix, overflow
+         AUDITED in the returned frame — never silent);
+      3. the new side is never capped: per-bucket join fanout is
+         m_new x min(m_old, cap) — linear in the snapshot;
+      4. two-stage verify (signature-estimate prefilter on fixed-size
+         signatures, then exact shingle Jaccard).
+
+    Returns (pairs(url_a, url_b, jaccard), overflow(band_idx,
+    band_hash, bucket_size)).
+    """
+    cap = max_bucket or cfg.max_band_bucket
+    keys = ["band_idx", "band_hash"]
+    nb = band_explode(new_fp, cfg)
+    ob = band_explode(old_fp, cfg)
+
+    touched = nb.select(*keys).distinct()
+    ot = ob.join(touched, keys, "left_semi")
+    counts = ot.groupBy(*keys).agg(F.count("*").alias("bucket_size"))
+    overflow = counts.filter(F.col("bucket_size") > cap)
+    capped_old = (
+        ot.groupBy(*keys)
+        .agg(F.sort_array(F.collect_list("url")).alias("members"))
+        .select(*keys, F.explode(F.slice("members", 1, cap)).alias("url_b"))
+    )
+    pairs = (
+        nb.withColumnRenamed("url", "url_a")
+        .join(capped_old, keys)
+        .select("url_a", "url_b")
+        .dropDuplicates(["url_a", "url_b"])
+    )
+    cols = ["url", "minhash", "shingles", "n_shingles"]
+    all_fp = new_fp.select(*cols).unionByName(old_fp.select(*cols))
+    return verify_pairs_two_stage(pairs, all_fp, cfg), overflow
+
+
 def simhash_pairs(
     fp: DataFrame, cfg: DedupConfig, max_bucket: int | None = None
 ) -> tuple[DataFrame, DataFrame]:
