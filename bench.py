@@ -202,6 +202,11 @@ def main() -> None:
         "cpus": cpus,
         "config": CFG.config_id,
         "runs": runs_detail,
+        # medians are the headline (comparable across rounds); the
+        # per-query best is the contention floor on this shared box —
+        # observed same-code medians swing 34s..95s with neighbor load
+        # (BENCH/BASELINE.md documents the ±2-4x noise)
+        "queries_best": {k: min(v) for k, v in runs_detail.items()},
     }
     # attach the north-rule scaling evidence (bench_scaling.py --write)
     # so the per-round bench JSON is self-contained
