@@ -530,6 +530,18 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_check(docs, probes, key="doc_id", n=8)
 
 
+def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing manifest: per-shard deterministic concat
+    packing into 512-token sequences — where each doc begins in the
+    packed training stream.  One shuffle on shard + in-partition
+    running sum; SQL-mirrors exactly (same md5 shard + window cumsum)."""
+    from deduplicator_spark.sources.shards import pack_manifest
+
+    return pack_manifest(
+        _docs(spark, sf_dir), key="doc_id", budget_tokens=512, n_shards=10
+    )
+
+
 def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-shard writer accounting: deterministic md5-derived
     shard per doc, (n_docs, total_chars) per shard."""
@@ -695,6 +707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality_filter": q_gopher_quality_filter,
         "contamination_check": q_contamination_check,
         "shard_manifest": q_shard_manifest,
+        "pack_manifest": q_pack_manifest,
         "pii_report": q_pii_report,
         "doc_fingerprints": q_doc_fingerprints,
         "rolling_fingerprints": q_rolling_fingerprints,
@@ -1014,6 +1027,22 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs,
                    CAST(sum(length(text)) AS BIGINT) AS total_chars
             FROM documents GROUP BY 1
+        """,
+        "pack_manifest": f"""
+            WITH s AS (
+              SELECT doc_id,
+                     (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256
+                      + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 10 AS shard,
+                     CAST({_NTOK} AS BIGINT) AS n_tok
+              FROM documents),
+            c AS (
+              SELECT doc_id, shard, n_tok,
+                     sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) - n_tok AS begin_tok
+              FROM s)
+            SELECT doc_id, shard, n_tok, begin_tok,
+                   CAST(begin_tok // 512 AS BIGINT) AS seq_idx
+            FROM c
         """,
         "contamination_check": f"""
             WITH w AS (

@@ -8,6 +8,7 @@ from deduplicator_spark.sources.pages import (
 from deduplicator_spark.sources.loaders import load_table, load_documents_as_pages
 from deduplicator_spark.sources.extract import extract_text
 from deduplicator_spark.sources.shards import (
+    pack_manifest,
     sample_bucket,
     shard_assignment,
     shard_manifest,
@@ -16,6 +17,7 @@ from deduplicator_spark.sources.shards import (
 )
 
 __all__ = [
+    "pack_manifest",
     "sample_bucket",
     "shard_assignment",
     "stratified_sample",

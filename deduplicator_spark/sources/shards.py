@@ -84,6 +84,53 @@ def stratified_sample(
     return df.filter(sample_bucket(key) < rate_bp)
 
 
+def pack_manifest(
+    df: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    budget_tokens: int = 2048,
+    n_shards: int = 10,
+) -> DataFrame:
+    """Sequence-packing manifest: where every document lands in the
+    packed fixed-budget training stream (the greedy concat packing
+    step of LLM data prep, as a deterministic table instead of a
+    tokenizer-side loop).
+
+    Documents are hash-assigned to shards, ordered by key within the
+    shard, and concatenated into one token stream per shard; sequence
+    ``seq_idx`` of a shard is the ``budget_tokens``-sized window of
+    that stream.  Output row per doc:
+    ``(key, shard, n_tok, begin_tok, seq_idx)`` — ``begin_tok`` the
+    doc's offset in its shard stream, ``seq_idx = begin_tok //
+    budget_tokens`` the sequence its first token lands in (docs may
+    straddle sequence boundaries, exactly like the real packed stream).
+
+    Scale shape: one exchange on ``shard`` + an in-partition sort —
+    the same layout the shard writer needs anyway; the cumulative sum
+    is a running window inside each shard partition, never global.
+    """
+    from pyspark.sql import Window
+
+    from deduplicator_spark.functions.quality import n_tokens
+
+    sized = df.select(
+        key,
+        shard_assignment(key, n_shards).alias("shard"),
+        n_tokens(text_col).cast("long").alias("n_tok"),
+    )
+    w = Window.partitionBy("shard").orderBy(key).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        sized.withColumn("_cum", F.sum("n_tok").over(w))
+        .withColumn("begin_tok", F.col("_cum") - F.col("n_tok"))
+        .withColumn(
+            "seq_idx", F.floor(F.col("begin_tok") / budget_tokens).cast("long")
+        )
+        .select(key, "shard", "n_tok", "begin_tok", "seq_idx")
+    )
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,

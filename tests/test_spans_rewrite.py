@@ -159,3 +159,25 @@ def test_stratified_sample_deterministic_and_rate(spark):
     row = docs.select("doc_id", sample_bucket("doc_id").alias("b")).first()
     h = int(hl.md5(str(row["doc_id"]).encode()).hexdigest()[:15], 16)
     assert row["b"] == h % 10_000
+
+
+def test_pack_manifest_invariants(spark):
+    from deduplicator_spark.sources.shards import pack_manifest
+
+    docs = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", F.array_repeat(F.lit("tok"), (F.col("id") % 40 + 1).cast("int"))).alias("text"),
+    )
+    m = pack_manifest(docs, key="doc_id", budget_tokens=64, n_shards=4).toPandas()
+    assert len(m) == 300
+    for _, grp in m.groupby("shard"):
+        g = grp.sort_values("doc_id").reset_index(drop=True)
+        # begin_tok is the running sum of preceding docs in key order
+        assert (g["begin_tok"] == g["n_tok"].cumsum() - g["n_tok"]).all()
+        assert (g["seq_idx"] == g["begin_tok"] // 64).all()
+    # deterministic under repartitioning
+    m2 = (
+        pack_manifest(docs.repartition(13), key="doc_id", budget_tokens=64, n_shards=4)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert m.sort_values("doc_id").reset_index(drop=True).equals(m2)
