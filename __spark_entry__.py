@@ -1037,8 +1037,9 @@ def oracle_sql() -> dict[str, str]:
               FROM documents),
             c AS (
               SELECT doc_id, shard, n_tok,
-                     sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
-                                      ROWS UNBOUNDED PRECEDING) - n_tok AS begin_tok
+                     CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                                           ROWS UNBOUNDED PRECEDING) - n_tok
+                          AS BIGINT) AS begin_tok
               FROM s)
             SELECT doc_id, shard, n_tok, begin_tok,
                    CAST(begin_tok // 512 AS BIGINT) AS seq_idx

@@ -30,10 +30,12 @@ TABLES = (
 
 
 def _norm_cell(v):
+    """Dtype-SENSITIVE stringification: the driver's value hash
+    distinguishes int 5 from float 5.0 (the round-1 token_stats_by_lang
+    failure was exactly a DuckDB HUGEINT->float vs Spark bigint
+    artifact), so floats keep their float repr here."""
     if v is None:
         return ""
-    if isinstance(v, float):
-        return f"{v:.6g}"
     if isinstance(v, bool):
         return str(int(v))
     return str(v)
