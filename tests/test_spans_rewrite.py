@@ -161,6 +161,37 @@ def test_stratified_sample_deterministic_and_rate(spark):
     assert row["b"] == h % 10_000
 
 
+def test_span_dedup_multibyte_utf8(spark, cfg):
+    """Span coverage is defined over UTF-8 BYTES (gram positions are
+    byte offsets); docs with multibyte characters must agree with an
+    independent byte-level computation and satisfy the length
+    identity.  Mirrors the golden's true-gram definition."""
+    span = "übergrößenträger façade naïve déjà-vu œuvre "  # multibyte, len>=50 bytes
+    assert len((span * 2).encode()) >= 50
+    rows = [
+        ("a", f"kopf {span * 2} schluss"),
+        ("b", f"anfang anders {span * 2} ende anders"),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    report, _ = span_dedup(df, cfg)
+    out = {r["url"]: r.asDict() for r in report.collect()}
+    # independent byte-level expectation for doc b vs doc a
+    L = cfg.substring_min_len
+    na = " ".join(rows[0][1].lower().split()).encode()
+    nb = " ".join(rows[1][1].lower().split()).encode()
+    grams_a = {na[i : i + L] for i in range(len(na) - L + 1)}
+    import numpy as np
+
+    covered = np.zeros(len(nb), dtype=bool)
+    for p in range(len(nb) - L + 1):
+        if nb[p : p + L] in grams_a:
+            covered[p : p + L] = True
+    assert out["b"]["orig_len"] == len(nb)
+    assert out["b"]["covered_chars"] == int(covered.sum())
+    assert out["b"]["clean_len"] == len(nb) - int(covered.sum())
+    assert out["a"]["covered_chars"] == 0
+
+
 def test_pack_manifest_invariants(spark):
     from deduplicator_spark.sources.shards import pack_manifest
 
