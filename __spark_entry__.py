@@ -542,6 +542,18 @@ def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixing (alpha=0.5, 1M-token budget):
+    per-source raw token counts -> mixing weights -> token allocations
+    and implied repeat epochs.  The corpus-composition step a training
+    pipeline runs after dedup."""
+    from deduplicator_spark.operators.mixing import domain_mix
+
+    return domain_mix(
+        _docs(spark, sf_dir), key="source", alpha=0.5, budget_tokens=1_000_000
+    )
+
+
 def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-shard writer accounting: deterministic md5-derived
     shard per doc, (n_docs, total_chars) per shard."""
@@ -706,6 +718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical_dups": q_url_canonical_dups,
         "gopher_quality_filter": q_gopher_quality_filter,
         "contamination_check": q_contamination_check,
+        "domain_mix": q_domain_mix,
         "shard_manifest": q_shard_manifest,
         "pack_manifest": q_pack_manifest,
         "pii_report": q_pii_report,
@@ -999,6 +1012,25 @@ def oracle_sql() -> dict[str, str]:
             FROM seg GROUP BY seg_md5
             HAVING count(DISTINCT doc_id) >= 3
             ORDER BY n_docs DESC, seg_md5 ASC LIMIT 20
+        """,
+        "domain_mix": f"""
+            WITH per AS (
+              SELECT source, count(*) AS n_docs,
+                     CAST(sum({_NTOK}) AS BIGINT) AS raw_tokens
+              FROM documents GROUP BY source),
+            sc AS (
+              SELECT *, pow(CAST(raw_tokens AS DOUBLE), 0.5) AS scaled FROM per),
+            wt AS (
+              SELECT source, n_docs, raw_tokens,
+                     round(scaled / (SELECT sum(scaled) FROM sc), 6) AS mix_weight
+              FROM sc),
+            alloc AS (
+              SELECT *, CAST(round(mix_weight * 1000000, 0) AS BIGINT)
+                          AS alloc_tokens
+              FROM wt)
+            SELECT source, n_docs, raw_tokens, mix_weight, alloc_tokens,
+                   round(alloc_tokens / CAST(raw_tokens AS DOUBLE), 4) AS epochs
+            FROM alloc
         """,
         "event_window_dedup": """
             SELECT date_trunc('hour', ts) AS window_start, user_id, event_type,
