@@ -1,0 +1,137 @@
+"""Custom stateful streaming dedup via ``applyInPandasWithState``.
+
+The foreachBatch path (streaming/incremental.py) re-reads its own
+parquet state each micro-batch — simple, resumable, but the state
+round-trips through storage.  This module is the other Structured
+Streaming shape the engine needs at ingest time: **keyed state held by
+the state store itself**, one state row per content fingerprint,
+updated by an Arrow-batched pandas function.
+
+Semantics (first-seen-wins exact dedup, the streaming form of the
+reference's identity dedupe dupedb.py:255-257 / operators/exact.py):
+
+    group key   = content_md5 (or any fingerprint column)
+    state       = (canonical_url, seen_count)  per key
+    output      = one row per input doc:
+                  (url, key, is_duplicate, canonical_url, dup_rank)
+
+Within a micro-batch the canonical is the min url among state + batch
+(deterministic, order-independent — pinned by test); across batches the
+state row makes later re-appearances duplicates of the first batch's
+canonical.  State survives query restarts via the checkpoint dir's
+state store, which is how the cross-restart test drives two batches.
+
+Scale shape: the groupBy hash-partitions keys across executors, so
+state is sharded exactly like a shuffle — no single-node state.  Each
+executor holds only its shard (HDFS/RocksDB-backed state store on a
+real cluster).  For unbounded key spaces the operator takes a TTL:
+with ``ttl_minutes`` set it registers a processing-time timeout per
+key and drops state rows idle longer than the TTL (web-crawl dedup
+typically only needs dup detection within a crawl horizon — Lee et
+al.'s within-snapshot setting).  No per-row Python: the callback gets
+whole Arrow batches per key group.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+if TYPE_CHECKING:  # pragma: no cover
+    pass
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("key", T.StringType(), False),
+        T.StructField("is_duplicate", T.BooleanType(), False),
+        T.StructField("canonical_url", T.StringType(), False),
+        T.StructField("dup_rank", T.LongType(), False),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("canonical_url", T.StringType(), False),
+        T.StructField("seen_count", T.LongType(), False),
+    ]
+)
+
+
+def _dedup_group(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+    ttl_ms: int | None,
+) -> Iterator[pd.DataFrame]:
+    """Per-key callback: merge batch urls with state, emit verdicts."""
+    if state.hasTimedOut:
+        # TTL eviction: drop the state row; nothing to emit this trigger
+        state.remove()
+        return
+    urls: list[str] = []
+    for pdf in pdfs:
+        urls.extend(pdf["url"].tolist())
+    if state.exists:
+        canonical, seen = state.get
+    else:
+        canonical, seen = None, 0
+    # first-seen-wins: once a key has a canonical it is FINAL (later
+    # batches never steal it).  Within the key's first batch the min
+    # url wins — deterministic under repartitioning/replay, where
+    # arrival order is not.
+    if canonical is None:
+        canonical = min(urls)
+    out = pd.DataFrame(
+        {
+            "url": urls,
+            "key": key[0],
+            "is_duplicate": [u != canonical or seen > 0 for u in urls],
+            "canonical_url": canonical,
+            "dup_rank": [seen + i for i in range(len(urls))],
+        }
+    )
+    state.update((canonical, seen + len(urls)))
+    if ttl_ms is not None:
+        state.setTimeoutDuration(ttl_ms)
+    yield out
+
+
+def stateful_exact_dedup(
+    stream: DataFrame,
+    key_col: str = "content_md5",
+    url_col: str = "url",
+    ttl_minutes: int | None = None,
+) -> DataFrame:
+    """Streaming first-seen-wins dedup keyed by ``key_col``.
+
+    ``stream`` must be a streaming DataFrame with at least
+    (url_col, key_col).  Returns the verdict stream (OUTPUT_SCHEMA);
+    write it with ``.writeStream.outputMode("update")``.
+    """
+    from pyspark.sql import functions as F
+
+    ttl_ms = None if ttl_minutes is None else ttl_minutes * 60_000
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if ttl_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+
+    def fn(key, pdfs, state):
+        return _dedup_group(key, pdfs, state, ttl_ms)
+
+    keyed = stream.select(
+        F.col(url_col).alias("url"), F.col(key_col).alias("key")
+    )
+    return keyed.groupBy("key").applyInPandasWithState(
+        fn,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=timeout,
+    )

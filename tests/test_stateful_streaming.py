@@ -1,0 +1,110 @@
+"""applyInPandasWithState streaming dedup: batch parity, cross-batch
+state persistence through the checkpointed state store, and the
+keyed-state sharding invariant."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from deduplicator_spark.streaming.stateful import stateful_exact_dedup
+
+SCHEMA = "url string, content_md5 string"
+
+
+def _run_once(spark, src_dir: str, ckpt_dir: str, out_dir: str):
+    """One availableNow pass; verdicts land in ``out_dir`` via a
+    foreachBatch parquet-append sink (the memory sink cannot recover
+    from a checkpoint, which the restart test needs)."""
+    stream = spark.readStream.schema(SCHEMA).parquet(src_dir)
+    verdicts = stateful_exact_dedup(stream)
+
+    def sink(batch, _epoch):
+        batch.write.mode("append").parquet(out_dir)
+
+    q = (
+        verdicts.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(out_dir)
+
+
+def _mk_batch(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_stateful_dedup_matches_batch_first_seen(spark, tmp_path):
+    """Single micro-batch: verdicts equal the batch min-url-per-key
+    rule, independent of row order/partitioning."""
+    rows = [
+        ("u3", "h1"), ("u1", "h1"), ("u2", "h1"),
+        ("u9", "h2"),
+        ("u5", "h3"), ("u4", "h3"),
+    ]
+    src = str(tmp_path / "src")
+    _mk_batch(spark, rows).repartition(3).write.parquet(src)
+    out = _run_once(spark, src, str(tmp_path / "ckpt"), str(tmp_path / "out"))
+    got = {r["url"]: (r["is_duplicate"], r["canonical_url"]) for r in out.collect()}
+    assert got == {
+        "u1": (False, "u1"), "u2": (True, "u1"), "u3": (True, "u1"),
+        "u9": (False, "u9"),
+        "u4": (False, "u4"), "u5": (True, "u4"),
+    }
+    # exactly one non-duplicate per key — the batch-mode invariant
+    per_key = out.groupBy("key").agg(
+        F.sum(F.when(~F.col("is_duplicate"), 1).otherwise(0)).alias("n_keep")
+    )
+    assert all(r["n_keep"] == 1 for r in per_key.collect())
+
+
+def test_stateful_dedup_state_survives_restart(spark, tmp_path):
+    """Batch 2 re-sends h1 under a NEW smaller url after a query
+    restart: the state store must remember batch 1's canonical and mark
+    the newcomer duplicate (first-seen-wins across batches, not
+    min-url-across-time)."""
+    src = str(tmp_path / "src2")
+    ckpt = str(tmp_path / "ckpt2")
+    _mk_batch(spark, [("u5", "h1"), ("u7", "h2")]).write.mode("append").parquet(src)
+    out1 = _run_once(spark, src, ckpt, str(tmp_path / "out_b1"))
+    assert {r["url"]: r["is_duplicate"] for r in out1.collect()} == {
+        "u5": False, "u7": False,
+    }
+
+    # second batch: u1 < u5 but h1 was already claimed by u5
+    _mk_batch(spark, [("u1", "h1"), ("u8", "h3")]).write.mode("append").parquet(src)
+    out2 = _run_once(spark, src, ckpt, str(tmp_path / "out_b2"))
+    got = {r["url"]: (r["is_duplicate"], r["canonical_url"], r["dup_rank"]) for r in out2.collect()}
+    assert got == {"u1": (True, "u5", 1), "u8": (False, "u8", 0)}
+
+
+def test_stateful_dedup_on_fingerprinted_pages(spark, small_pages, tmp_path):
+    """End-to-end on the synthetic fixture: md5-keyed verdict stream
+    equals the batch exact-dup rule (one keep per content hash, keeps
+    == distinct hashes)."""
+    pages = small_pages.select("url", F.md5("text").alias("content_md5"))
+    src = str(tmp_path / "src3")
+    pages.write.parquet(src)
+    out = _run_once(spark, src, str(tmp_path / "ckpt3"), str(tmp_path / "out3"))
+    n_rows = out.count()
+    n_keeps = out.filter(~F.col("is_duplicate")).count()
+    assert n_rows == pages.count()
+    assert n_keeps == pages.select("content_md5").distinct().count()
+    # canonical is the min url of each hash group (deterministic)
+    want = {
+        r["content_md5"]: r["m"]
+        for r in pages.groupBy("content_md5").agg(F.min("url").alias("m")).collect()
+    }
+    got = {r["key"]: r["canonical_url"] for r in out.filter(~F.col("is_duplicate")).collect()}
+    assert got == want
+
+
+def test_stateful_dedup_requires_streaming_frame(spark):
+    """Batch frames are rejected by Spark itself — pin the error so a
+    refactor can't silently turn this into a batch op."""
+    df = spark.createDataFrame([("u1", "h1")], SCHEMA)
+    with pytest.raises(Exception):
+        stateful_exact_dedup(df).collect()
