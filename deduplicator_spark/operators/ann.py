@@ -73,10 +73,15 @@ def _ivf_centroids(dim: int, n_cells: int, seed: int) -> np.ndarray:
     return centroids
 
 
-def make_ivf_cell_udf(dim: int, n_cells: int = 16, seed: int = 42):
+def make_ivf_cell_udf(
+    dim: int, n_cells: int = 16, seed: int = 42, centroids: np.ndarray | None = None
+):
     """pandas UDF: embedding -> IVF cell id (argmax cosine against
-    ``n_cells`` seeded unit centroids; one matmul per Arrow batch)."""
-    centroids = _ivf_centroids(dim, n_cells, seed)
+    ``n_cells`` unit centroids; one matmul per Arrow batch).  Centroids
+    default to the seeded random set; pass ``train_ivf_centroids``
+    output for a fitted quantizer."""
+    if centroids is None:
+        centroids = _ivf_centroids(dim, n_cells, seed)
 
     @pandas_udf(T.IntegerType())
     def cell(vecs: pd.Series) -> pd.Series:
@@ -88,13 +93,20 @@ def make_ivf_cell_udf(dim: int, n_cells: int = 16, seed: int = 42):
     return cell
 
 
-def make_ivf_probe_udf(dim: int, n_cells: int = 16, seed: int = 42, n_probe: int = 2):
+def make_ivf_probe_udf(
+    dim: int,
+    n_cells: int = 16,
+    seed: int = 42,
+    n_probe: int = 2,
+    centroids: np.ndarray | None = None,
+):
     """pandas UDF: embedding -> the ``n_probe`` nearest IVF cells
     (standard multi-probe: querying neighboring cells recovers pairs
     that single-probe loses at cell boundaries).  The top-1 cell is
     always included, so multi-probe candidates are a superset of
     single-probe candidates (pinned by test)."""
-    centroids = _ivf_centroids(dim, n_cells, seed)
+    if centroids is None:
+        centroids = _ivf_centroids(dim, n_cells, seed)
 
     @pandas_udf(T.ArrayType(T.IntegerType()))
     def cells(vecs: pd.Series) -> pd.Series:
@@ -108,6 +120,91 @@ def make_ivf_probe_udf(dim: int, n_cells: int = 16, seed: int = 42, n_probe: int
     return cells
 
 
+def train_ivf_centroids(
+    emb: DataFrame,
+    dim: int,
+    n_cells: int = 16,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> np.ndarray:
+    """Distributed spherical k-means (Lloyd) for the IVF coarse
+    quantizer.  Returns ``(n_cells, dim)`` unit centroids.
+
+    Spark shape per iteration (the classic scalable k-means layout —
+    centroids are the ONLY driver-side state, ``n_cells x dim`` floats):
+
+      1. assignment: the broadcast-closure pandas UDF argmaxes cosine
+         against the current centroids — one matmul per Arrow batch;
+      2. update: ``posexplode`` the unit vectors to (cell, pos, val)
+         and ``groupBy(cell, pos).sum`` — a map-side-combined agg whose
+         result is ``n_cells * dim`` rows, collected to the driver;
+      3. empty cells keep their previous centroid (standard Lloyd
+         fallback) so the quantizer never loses cells.
+
+    The per-iteration shuffle is tiny (pre-aggregated per partition);
+    nothing O(corpus) ever reaches the driver.  Double-precision sums
+    commute up to float rounding, so trained centroids are stable to
+    ~1e-12 across partitionings — assignments of points not razor-thin
+    on a cell boundary are reproducible, but (unlike the seeded
+    quantizer) bitwise determinism is NOT guaranteed, which is why the
+    driver oracle pins the seeded variant and the trained one is
+    covered by objective/invariant tests instead."""
+    vecs = emb.select(F.col(vec_col).cast("array<double>").alias("v"))
+    # spherical k-means operates on the unit sphere; zero vectors have
+    # no direction and are dropped from training
+    norm = F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+    unit = (
+        vecs.withColumn("n", norm)
+        .filter(F.col("n") > 0)
+        .select(F.transform("v", lambda x: x / F.col("n")).alias("v"))
+        .localCheckpoint()  # normalize once, not once per Lloyd round
+    )
+
+    centroids = _ivf_centroids(dim, n_cells, seed)
+    for _ in range(n_iter):
+        cell_udf = make_ivf_cell_udf(dim, n_cells, seed, centroids=centroids)
+        assigned = unit.select(cell_udf(F.col("v")).alias("cell"), "v")
+        sums = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("val").alias("s"))
+            .collect()
+        )
+        new_c = centroids.copy()
+        acc = np.zeros((n_cells, dim))
+        seen = np.zeros(n_cells, dtype=bool)
+        for r in sums:
+            acc[r["cell"], r["pos"]] = r["s"]
+            seen[r["cell"]] = True
+        norms = np.linalg.norm(acc, axis=1)
+        ok = seen & (norms > 0)
+        new_c[ok] = acc[ok] / norms[ok, None]
+        centroids = new_c
+    return centroids
+
+
+def quantization_objective(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+) -> float:
+    """Mean max-cosine of each vector to its nearest centroid — the
+    spherical k-means objective (higher is better)."""
+    dim = centroids.shape[1]
+
+    @pandas_udf(T.DoubleType())
+    def best(vecs: pd.Series) -> pd.Series:
+        M = np.stack(vecs.to_numpy()).astype(np.float64)
+        n = np.linalg.norm(M, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return pd.Series(((M / n) @ centroids.T).max(axis=1))
+
+    row = emb.select(F.avg(best(F.col(vec_col).cast("array<double>"))).alias("o")).collect()
+    return float(row[0]["o"])
+
+
 def ivf_pairs(
     emb: DataFrame,
     dim: int,
@@ -118,6 +215,7 @@ def ivf_pairs(
     seed: int = 42,
     max_bucket: int = 100_000,
     n_probe: int = 1,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF-bucketed near-dup pairs: coarse quantization to seeded
     centroids, candidates sharing any probed cell, exact cosine
@@ -132,7 +230,7 @@ def ivf_pairs(
     from deduplicator_spark.operators.buckets import bucket_pairs
 
     if n_probe > 1:
-        probe_udf = make_ivf_probe_udf(dim, n_cells, seed, n_probe)
+        probe_udf = make_ivf_probe_udf(dim, n_cells, seed, n_probe, centroids=centroids)
         s = emb.select(
             F.col(id_col).alias("id"),
             F.col(vec_col).cast("array<double>").alias("v"),
@@ -140,7 +238,7 @@ def ivf_pairs(
         ).localCheckpoint()
         keyed = s.select(F.col("id").alias("url"), F.explode("cells").alias("cell"))
     else:
-        cell_udf = make_ivf_cell_udf(dim, n_cells, seed)
+        cell_udf = make_ivf_cell_udf(dim, n_cells, seed, centroids=centroids)
         s = emb.select(
             F.col(id_col).alias("id"),
             F.col(vec_col).cast("array<double>").alias("v"),

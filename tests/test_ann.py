@@ -45,3 +45,56 @@ def test_ivf_multiprobe_superset_and_recall(spark):
     # least one boundary-split pair (guards the explode path actually
     # probing more than one cell)
     assert len(s2) > len(s1)
+
+
+def test_train_ivf_centroids_improves_objective(spark):
+    """Lloyd rounds must not hurt the spherical k-means objective, and
+    on this fixture a trained quantizer strictly beats the random one
+    (that is WHY one trains it)."""
+    from deduplicator_spark.operators.ann import (
+        _ivf_centroids,
+        quantization_objective,
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    seeded = _ivf_centroids(64, 16, 42)
+    trained = train_ivf_centroids(emb, dim=64, n_cells=16, n_iter=4)
+    assert trained.shape == (16, 64)
+    # unit rows: every centroid stays on the sphere
+    assert np.allclose(np.linalg.norm(trained, axis=1), 1.0)
+    o0 = quantization_objective(emb, seeded)
+    o1 = quantization_objective(emb, trained)
+    assert o1 > o0 + 1e-3
+
+
+def test_ivf_pairs_with_trained_centroids(spark):
+    """Trained quantizer drops into ivf_pairs: output stays exact-
+    cosine-verified (no false positives vs brute force) and recall does
+    not regress vs the seeded quantizer on this fixture."""
+    from deduplicator_spark.operators.ann import train_ivf_centroids
+
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    kw = dict(dim=64, n_cells=16, min_cosine=0.3)
+    trained = train_ivf_centroids(emb, dim=64, n_cells=16, n_iter=4)
+    seeded_pairs = {(r["id_a"], r["id_b"]) for r in ivf_pairs(emb, **kw).collect()}
+    trained_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in ivf_pairs(emb, **kw, centroids=trained).collect()
+    }
+    truth = _brute_truth(spark, 0.3)
+    assert trained_pairs <= truth
+    assert len(trained_pairs & truth) >= len(seeded_pairs & truth)
+
+
+def test_train_ivf_keeps_empty_cells(spark):
+    """A quantizer trained with more cells than natural clusters must
+    still return n_cells unit centroids (empty cells keep their seed
+    centroid instead of collapsing to NaN)."""
+    from deduplicator_spark.operators.ann import train_ivf_centroids
+
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet").limit(20)
+    c = train_ivf_centroids(emb, dim=64, n_cells=64, n_iter=2)
+    assert c.shape == (64, 64)
+    assert np.all(np.isfinite(c))
+    assert np.allclose(np.linalg.norm(c, axis=1), 1.0)
