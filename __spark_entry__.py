@@ -310,6 +310,55 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_near_dup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best-by-quality per near-dup cluster: the retention step a
+    training pipeline runs after clustering (keep the highest-quality
+    member, not an arbitrary one).  Composes the oracled CC output with
+    the oracled quality score; tie-break doc_id asc."""
+    from pyspark.sql import Window
+
+    clusters = q_near_dup_clusters(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        quality_score("text").alias("quality"),
+    )
+    w = Window.partitionBy("cluster_min_doc_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return (
+        clusters.join(docs, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_min_doc_id",
+            F.col("doc_id").alias("canonical_doc_id"),
+            "cluster_size",
+            "quality",
+        )
+    )
+
+
+def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary stats: top 25 tokens by document frequency
+    (the sanity report a data pipeline prints before training).  Two
+    map-side-combined aggs over exploded tokens; top-k is a
+    TakeOrdered, never a global sort."""
+    from deduplicator_spark.functions.text import normalize_text
+
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.split(normalize_text(F.col("text")), " ", -1)).alias("token")
+    ).filter(F.col("token") != "")
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), F.asc("token"))
+        .limit(25)
+    )
+
+
 def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash block-join candidates at hamming <= 3.  Oracled against
     a committed golden (doc_id, simhash) table computed by an
@@ -729,6 +778,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "cross_snapshot_pairs": q_cross_snapshot_pairs,
         "near_dup_clusters": q_near_dup_clusters,
+        "near_dup_canonical": q_near_dup_canonical,
+        "top_tokens": q_top_tokens,
         "simhash_candidates": q_simhash_candidates,
         "ann_lsh_pairs": q_ann_lsh_pairs,
         "ann_ivf_pairs": q_ann_ivf_pairs,
@@ -1248,6 +1299,67 @@ def oracle_sql() -> dict[str, str]:
                    CAST(l.cluster_min_doc_id AS BIGINT) AS cluster_min_doc_id,
                    s2.cluster_size
             FROM lab l JOIN sizes s2 USING (cluster_min_doc_id)
+        """,
+        "near_dup_canonical": rf"""
+            WITH RECURSIVE t AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+              FROM documents),
+            s AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(toks[i:i+4], ' ')
+                                    for i in range(1, len(toks) - 3)]) AS shingles
+              FROM t WHERE len(toks) >= 5),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM s a JOIN s b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                    / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8),
+            edges AS (
+              SELECT id_a AS u, id_b AS v FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs),
+            reach AS (
+              SELECT u, v FROM edges
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+            lab AS (
+              SELECT u AS doc_id, least(u, min(v)) AS cluster_min_doc_id
+              FROM reach GROUP BY u),
+            sizes AS (
+              SELECT cluster_min_doc_id, count(*) AS cluster_size
+              FROM lab GROUP BY cluster_min_doc_id),
+            q AS (
+              SELECT doc_id,
+                     round(least({_NTOK} / 100.0, 1.0) * 0.6 +
+                           least(CASE WHEN {_NTOK} > 0
+                                 THEN ({stop_hits} * 1.0 / {_NTOK}) * 10.0
+                                 ELSE 0.0 END, 1.0) * 0.4, 6) AS quality
+              FROM documents),
+            ranked AS (
+              SELECT CAST(l.cluster_min_doc_id AS BIGINT) AS cluster_min_doc_id,
+                     CAST(l.doc_id AS BIGINT) AS canonical_doc_id,
+                     sz.cluster_size, q.quality,
+                     row_number() OVER (
+                       PARTITION BY l.cluster_min_doc_id
+                       ORDER BY q.quality DESC, l.doc_id ASC) AS rn
+              FROM lab l
+              JOIN sizes sz USING (cluster_min_doc_id)
+              JOIN q ON q.doc_id = l.doc_id)
+            SELECT cluster_min_doc_id, canonical_doc_id, cluster_size, quality
+            FROM ranked WHERE rn = 1
+        """,
+        "top_tokens": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS token
+              FROM documents),
+            agg AS (
+              SELECT token,
+                     CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                     count(*) AS n_occurrences
+              FROM toks WHERE token <> '' GROUP BY token)
+            SELECT token, n_docs, n_occurrences FROM agg
+            ORDER BY n_docs DESC, n_occurrences DESC, token ASC LIMIT 25
         """,
         "simhash_candidates": f"""
             WITH fp AS (SELECT * FROM read_parquet('{GOLDEN_SIMHASH}'))
