@@ -726,6 +726,65 @@ def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return collision_curve(spark, CFG.bands, CFG.rows_per_band)
 
 
+def q_normalized_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-exact tier (operators/exact.py normalized_exact_clusters):
+    plant a reformatted variant of every 10th doc — uppercased, digits
+    permuted, spacing doubled — which CCNet-style normalization must
+    fold back onto its source, while byte-md5 would not."""
+    base = _docs(spark, sf_dir).select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("url"), "text"
+    )
+    planted = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 10 == 0)
+        .select(
+            F.lpad((F.col("doc_id") + 10_000_000).cast("string"), 10, "0").alias("url"),
+            F.regexp_replace(
+                F.upper(F.translate("text", "0123456789", "9876543210")), " ", "  "
+            ).alias("text"),
+        )
+    )
+    from deduplicator_spark.operators.exact import normalized_exact_clusters
+
+    return normalized_exact_clusters(base.unionByName(planted))
+
+
+def q_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of dedup on the crawl timestamp (operators/windows.py
+    latest_snapshot): plant a newer re-crawl for ~half the golden urls
+    (md5-derived membership, engine-stable) and an exact-timestamp tie
+    variant for ~a quarter, so both the newest-wins path and the
+    deterministic digest tiebreak are exercised."""
+    from deduplicator_spark.operators.windows import latest_snapshot
+
+    pages = spark.read.parquet(GOLDEN_PAGES).select("url", "warc_ts", "text")
+    recrawl = (
+        pages.filter(F.substring(F.md5("url"), 1, 1) < "8")
+        .select(
+            "url",
+            (F.col("warc_ts") + F.expr("INTERVAL 7 DAYS")).alias("warc_ts"),
+            F.concat(F.col("text"), F.lit(" recrawl")).alias("text"),
+        )
+    )
+    tie = (
+        pages.filter(F.substring(F.md5("url"), 16, 1) < "4")
+        .select("url", "warc_ts", F.concat(F.col("text"), F.lit(" tie")).alias("text"))
+    )
+    return latest_snapshot(pages.unionByName(recrawl).unionByName(tie))
+
+
+def q_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram LM quality scores (functions/lm.py):
+    stupid-backoff log-likelihood per doc, quantized to integer
+    micro-nats before aggregation so the sums replay exactly in
+    DuckDB."""
+    from deduplicator_spark.functions.lm import lm_score, train_bigram_lm
+
+    docs = _docs(spark, sf_dir)
+    uni, bi = train_bigram_lm(docs, min_count=2)
+    return lm_score(docs, uni, bi)
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -795,6 +854,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_prune": q_semantic_prune,
         "domain_distinct_kmv": q_domain_distinct_kmv,
         "lsh_tuning": q_lsh_tuning,
+        "normalized_exact_dups": q_normalized_exact_dups,
+        "latest_snapshot_per_url": q_latest_snapshot,
+        "lm_doc_scores": q_lm_doc_scores,
     }
 
 
@@ -1509,4 +1571,89 @@ def oracle_sql() -> dict[str, str]:
             FROM a
         """,
         "lsh_tuning": _tuning_sql(),
+        "normalized_exact_dups": f"""
+            WITH all_docs AS (
+              SELECT lpad(CAST(doc_id AS VARCHAR), 10, '0') AS url, text
+              FROM documents
+              UNION ALL
+              SELECT lpad(CAST(doc_id + 10000000 AS VARCHAR), 10, '0') AS url,
+                     replace(upper(translate(text, '0123456789', '9876543210')),
+                             ' ', '  ') AS text
+              FROM documents WHERE doc_id % 10 = 0),
+            norm AS (
+              SELECT url,
+                     md5(trim(regexp_replace(regexp_replace(regexp_replace(
+                       lower(text), '[0-9]', '0', 'g'),
+                       '[^\\p{{L}}\\p{{N}}\\s]', ' ', 'g'),
+                       '\\s+', ' ', 'g'))) AS norm_md5
+              FROM all_docs),
+            sizes AS (
+              SELECT norm_md5, count(*) AS cluster_size FROM norm GROUP BY 1)
+            SELECT n.url, n.norm_md5, s.cluster_size
+            FROM norm n JOIN sizes s USING (norm_md5)
+            WHERE s.cluster_size >= 2
+        """,
+        "latest_snapshot_per_url": f"""
+            WITH snaps AS (
+              SELECT url, warc_ts, text
+              FROM read_parquet('{GOLDEN_PAGES}')
+              UNION ALL
+              SELECT url, warc_ts + INTERVAL 7 DAY AS warc_ts,
+                     text || ' recrawl' AS text
+              FROM read_parquet('{GOLDEN_PAGES}')
+              WHERE substr(md5(url), 1, 1) < '8'
+              UNION ALL
+              SELECT url, warc_ts, text || ' tie' AS text
+              FROM read_parquet('{GOLDEN_PAGES}')
+              WHERE substr(md5(url), 16, 1) < '4'),
+            ranked AS (
+              SELECT url, warc_ts, md5(text) AS payload_md5,
+                     row_number() OVER (
+                       PARTITION BY url
+                       ORDER BY warc_ts DESC, md5(text) DESC) AS rn,
+                     count(*) OVER (PARTITION BY url) AS n_snapshots
+              FROM snaps)
+            SELECT url, warc_ts, payload_md5,
+                   CAST(n_snapshots AS BIGINT) AS n_snapshots
+            FROM ranked WHERE rn = 1
+        """,
+        "lm_doc_scores": f"""
+            WITH toks AS (
+              SELECT doc_id, string_split({_NORM}, ' ') AS toks
+              FROM documents
+              WHERE length({_NORM}) > 0
+                AND len(string_split({_NORM}, ' ')) >= 2),
+            uni AS (
+              SELECT tok, count(*) AS c_uni
+              FROM (SELECT unnest(toks) AS tok FROM toks) GROUP BY tok),
+            tot AS (SELECT CAST(sum(c_uni) AS DOUBLE) AS n_total FROM uni),
+            bg AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       range(1, len(toks)),
+                       i -> toks[i] || ' ' || toks[i+1])) AS bigram
+              FROM toks),
+            bi AS (
+              SELECT bigram, count(*) AS c_bi FROM bg
+              GROUP BY bigram HAVING count(*) >= 2),
+            scored AS (
+              SELECT g.doc_id,
+                     CAST(round(ln(CASE
+                       WHEN b.c_bi IS NOT NULL AND u1.c_uni IS NOT NULL
+                         THEN CAST(b.c_bi AS DOUBLE) / CAST(u1.c_uni AS DOUBLE)
+                       WHEN u2.c_uni IS NOT NULL
+                         THEN 0.4 * CAST(u2.c_uni AS DOUBLE) / t.n_total
+                       ELSE 0.4 / t.n_total END) * 1e6) AS BIGINT) AS logp_micro
+              FROM bg g
+              LEFT JOIN bi b USING (bigram)
+              LEFT JOIN uni u1 ON u1.tok = string_split(g.bigram, ' ')[1]
+              LEFT JOIN uni u2 ON u2.tok = string_split(g.bigram, ' ')[2]
+              CROSS JOIN tot t)
+            SELECT doc_id,
+                   count(*) AS n_bigrams,
+                   CAST(sum(logp_micro) AS BIGINT) AS sum_logp_micro,
+                   round(CAST(sum(logp_micro) AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE) / 1e6, 4) AS lm_score
+            FROM scored GROUP BY doc_id
+        """,
     }

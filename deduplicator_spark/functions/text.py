@@ -20,6 +20,23 @@ def normalize_text(col: Column | str) -> Column:
     return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
 
 
+def ccnet_normalize(col: Column | str) -> Column:
+    """Aggressive near-exact normalization (CCNet-style): lowercase,
+    fold every digit to '0', strip everything that is not a
+    letter/number/whitespace, collapse whitespace runs, trim.
+
+    Docs that differ only in case, punctuation, numbers, or spacing
+    hash identically afterwards — the cheap "fuzzy-exact" dedup tier
+    between byte-identity md5 and MinHash.  Pure JVM regex, and every
+    pattern is RE2-compatible so a DuckDB oracle can mirror it
+    step-for-step.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    folded = F.regexp_replace(F.lower(c), r"[0-9]", "0")
+    kept = F.regexp_replace(folded, r"[^\p{L}\p{N}\s]", " ")
+    return F.trim(F.regexp_replace(kept, r"\s+", " "))
+
+
 def token_count(col: Column | str) -> Column:
     """Whitespace token count of the normalized text; 0 for empty."""
     n = normalize_text(col)

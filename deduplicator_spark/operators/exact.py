@@ -34,6 +34,30 @@ def exact_clusters(pages: DataFrame, text_col: str = "text", min_size: int = 2) 
     )
 
 
+def normalized_exact_clusters(
+    pages: DataFrame, text_col: str = "text", min_size: int = 2
+) -> DataFrame:
+    """Clusters of docs identical after CCNet-style normalization
+    (case/digits/punctuation/whitespace folded — see
+    functions.text.ccnet_normalize).
+
+    The "fuzzy-exact" tier between byte md5 and MinHash: it catches
+    reformatted mirrors and counter/timestamp-only variants at the cost
+    of one md5 over the normalized text.  Same 100 TB shape as
+    ``exact_clusters`` — a map-side-combined agg on a 32-byte key; the
+    normalization itself is whole-stage-codegen JVM regex, no UDF.
+    """
+    from ..functions.text import ccnet_normalize
+
+    md5 = pages.select("url", F.md5(ccnet_normalize(text_col)).alias("norm_md5"))
+    sizes = md5.groupBy("norm_md5").agg(F.count("*").alias("cluster_size"))
+    return (
+        md5.join(sizes, "norm_md5")
+        .filter(F.col("cluster_size") >= min_size)
+        .select("url", "norm_md5", "cluster_size")
+    )
+
+
 def exact_dup_pairs(pages: DataFrame, text_col: str = "text") -> DataFrame:
     """(url_a, url_b) pairs of byte-identical docs, url_a < url_b.
 

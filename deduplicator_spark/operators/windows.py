@@ -21,6 +21,45 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def latest_snapshot(
+    df: DataFrame,
+    key: str = "url",
+    ts_col: str = "warc_ts",
+    payload_col: str = "text",
+) -> DataFrame:
+    """Keep the newest crawl snapshot per ``key`` (as-of dedup on the
+    crawl timestamp) — the standard first pass over a multi-snapshot
+    Common-Crawl-style table where the same url appears once per crawl.
+
+    Returns one row per key: (key, ts, payload md5 of the kept row,
+    n_snapshots).  Ties on ``ts_col`` break deterministically toward
+    the lexicographically larger payload digest so re-runs and engines
+    agree.
+
+    Scale notes: expressed as one ``max_by`` aggregation, NOT a window —
+    the partial aggregate combines map-side, so the shuffle carries one
+    candidate row per (partition, key) instead of every snapshot of
+    every url.  At 100 crawls x 10^10 urls that is the difference
+    between shuffling the corpus and shuffling ~the key set.
+    """
+    digest = F.md5(F.col(payload_col))
+    agg = df.groupBy(key).agg(
+        F.max_by(
+            F.struct(F.col(ts_col).alias("ts"), digest.alias("payload_md5")),
+            # newest ts wins; digest breaks exact-ts ties (struct
+            # compare is field-ordered, strings lexicographic)
+            F.struct(F.col(ts_col), digest),
+        ).alias("kept"),
+        F.count("*").alias("n_snapshots"),
+    )
+    return agg.select(
+        key,
+        F.col("kept.ts").alias(ts_col),
+        F.col("kept.payload_md5").alias("payload_md5"),
+        "n_snapshots",
+    )
+
+
 def windowed_dedup(
     df: DataFrame,
     time_col: str = "ts",

@@ -1,0 +1,148 @@
+"""Dedup-tier operators added round 2: normalized-exact (CCNet-style
+fold), latest-snapshot-per-url (as-of dedup), and the corpus-trained
+bigram LM quality scorer."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from deduplicator_spark.functions.lm import lm_score, train_bigram_lm
+from deduplicator_spark.functions.text import ccnet_normalize
+from deduplicator_spark.operators.exact import normalized_exact_clusters
+from deduplicator_spark.operators.windows import latest_snapshot
+
+
+# ---------------------------------------------------------------- normalized
+
+def test_ccnet_normalize_folds_case_digits_punct_space(spark):
+    rows = spark.range(1).select(
+        ccnet_normalize(F.lit("  The QUICK,   brown fox!! 123 times...  ")).alias("n")
+    ).collect()
+    assert rows[0]["n"] == "the quick brown fox 000 times"
+
+
+def test_normalized_exact_clusters_fold_variants(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", "Hello world, 42 times!"),
+            ("b", "hello   WORLD 99 times"),  # case/space/digits variant of a
+            ("c", "a completely different document"),
+            ("d", "another unrelated text entirely"),
+        ],
+        ["url", "text"],
+    )
+    out = normalized_exact_clusters(df).collect()
+    assert sorted(r["url"] for r in out) == ["a", "b"]
+    assert all(r["cluster_size"] == 2 for r in out)
+    # byte-exact md5 would NOT have matched them
+    assert df.select(F.md5("text")).distinct().count() == 4
+
+
+# ------------------------------------------------------------- latest snapshot
+
+def _ts(day: int, hour: int = 0) -> datetime.datetime:
+    return datetime.datetime(2025, 1, day, hour, 0, 0)
+
+
+def test_latest_snapshot_keeps_newest_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            Row(url="u1", warc_ts=_ts(1), text="v1"),
+            Row(url="u1", warc_ts=_ts(5), text="v2"),
+            Row(url="u1", warc_ts=_ts(3), text="v3"),
+            Row(url="u2", warc_ts=_ts(2), text="only"),
+        ]
+    )
+    out = {r["url"]: r for r in latest_snapshot(df).collect()}
+    assert out["u1"]["warc_ts"] == _ts(5)
+    assert out["u1"]["n_snapshots"] == 3
+    assert out["u2"]["n_snapshots"] == 1
+
+
+def test_latest_snapshot_tie_breaks_on_digest_deterministically(spark):
+    # identical ts: the lexicographically larger md5(text) wins, so the
+    # result is independent of row order / partitioning
+    rows = [
+        Row(url="u", warc_ts=_ts(1), text="alpha"),
+        Row(url="u", warc_ts=_ts(1), text="beta"),
+    ]
+    kept_fwd = latest_snapshot(spark.createDataFrame(rows)).collect()[0]
+    kept_rev = latest_snapshot(
+        spark.createDataFrame(list(reversed(rows))).repartition(5)
+    ).collect()[0]
+    assert kept_fwd["payload_md5"] == kept_rev["payload_md5"]
+    import hashlib
+
+    expect = max(hashlib.md5(t.encode()).hexdigest() for t in ("alpha", "beta"))
+    assert kept_fwd["payload_md5"] == expect
+
+
+def test_latest_snapshot_is_an_aggregate_not_a_window(spark):
+    """Scale guard: the plan must be a partial-aggregable max_by
+    (HashAggregate/SortAggregate pair), not a Window over a full sort
+    of every snapshot."""
+    df = spark.createDataFrame([Row(url="u", warc_ts=_ts(1), text="x")])
+    plan = latest_snapshot(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "Aggregate" in plan
+
+
+# ------------------------------------------------------------------- LM score
+
+def test_lm_score_prefers_corpus_typical_docs(spark):
+    corpus = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(20)]
+        + [(100, "zq xv qqj zzk wpl unseen gibberish")],
+        ["doc_id", "text"],
+    )
+    uni, bi = train_bigram_lm(corpus, min_count=2)
+    scores = {r["doc_id"]: r["lm_score"] for r in lm_score(corpus, uni, bi).collect()}
+    assert scores[0] > scores[100]  # typical doc ≫ gibberish (less negative)
+    assert scores[0] == scores[19]  # identical docs identical scores
+
+
+def test_lm_score_short_docs_excluded_and_counts_right(spark):
+    corpus = spark.createDataFrame(
+        [(1, "one"), (2, ""), (3, "a b c d")], ["doc_id", "text"]
+    )
+    uni, bi = train_bigram_lm(corpus, min_count=1)
+    out = {r["doc_id"]: r for r in lm_score(corpus, uni, bi).collect()}
+    assert set(out) == {3}  # <2-token docs can't be bigram-scored
+    assert out[3]["n_bigrams"] == 3
+
+
+def test_lm_score_sum_is_exact_integer_reduction(spark):
+    """Determinism contract: per-doc sums are integer micro-nats, so
+    repartitioning (different partial-agg order) changes nothing."""
+    corpus = spark.createDataFrame(
+        [(i, f"w{i % 7} common common w{i % 5} tail") for i in range(50)],
+        ["doc_id", "text"],
+    )
+    uni, bi = train_bigram_lm(corpus, min_count=2)
+    a = {r["doc_id"]: r["sum_logp_micro"] for r in lm_score(corpus, uni, bi).collect()}
+    b = {
+        r["doc_id"]: r["sum_logp_micro"]
+        for r in lm_score(corpus.repartition(13), uni, bi).collect()
+    }
+    assert a == b
+    assert all(isinstance(v, int) for v in a.values())
+
+
+def test_lm_pruned_bigram_falls_back_to_unigram(spark):
+    # 'rare pair' appears once -> pruned at min_count=2 -> backoff path
+    corpus = spark.createDataFrame(
+        [(1, "rare pair"), (2, "common duo"), (3, "common duo")],
+        ["doc_id", "text"],
+    )
+    uni, bi = train_bigram_lm(corpus, min_count=2)
+    assert bi.count() == 1  # only 'common duo' survives
+    out = {r["doc_id"]: r for r in lm_score(corpus, uni, bi).collect()}
+    # backoff: ln(0.4 * c('pair')/N) = ln(0.4 * 1/6)
+    import math
+
+    assert out[1]["sum_logp_micro"] == round(math.log(0.4 * 1 / 6) * 1e6)
+    # kept bigram: ln(c('common duo')/c('common')) = ln(2/2) = 0
+    assert out[2]["sum_logp_micro"] == 0
