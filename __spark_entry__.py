@@ -773,6 +773,43 @@ def q_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest_snapshot(pages.unionByName(recrawl).unionByName(tie))
 
 
+def q_dedup_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiered dedup rollup (operators/tiers.py): every doc gets its
+    cheapest matching tier — exact > normalized > near_dup > unique —
+    plus group id, canonical member, and group size.  Plants: every
+    10th doc re-inserted byte-identical (exact tier), every 7th
+    reformatted (normalized tier); natural sf0.01 near-dups fill tier 3.
+    Oracle replays all three ladders in one recursive-CTE statement."""
+    from deduplicator_spark.operators.tiers import dedup_tiers
+
+    docs = _docs(spark, sf_dir)
+    base = docs.select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("url"), "text"
+    )
+    byte_plant = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.lpad((F.col("doc_id") + 10_000_000).cast("string"), 10, "0").alias("url"),
+        "text",
+    )
+    reformat_plant = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.lpad((F.col("doc_id") + 20_000_000).cast("string"), 10, "0").alias("url"),
+        F.regexp_replace(
+            F.upper(F.translate("text", "0123456789", "9876543210")), " ", "  "
+        ).alias("text"),
+    )
+    corpus = base.unionByName(byte_plant).unionByName(reformat_plant)
+
+    fp = (
+        corpus.select("url", make_fingerprint_udf(CFG)(F.col("text")).alias("f"))
+        .select("url", "f.*")
+        .localCheckpoint()
+    )
+    banded = band_explode(fp, CFG)
+    pairs, _ = candidate_pairs(banded, CFG)
+    edges = verify_pairs(pairs, fp, CFG).select("url_a", "url_b")
+    near = clusters_from_pairs(edges, min_size=2)
+    return dedup_tiers(corpus, near)
+
+
 def q_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained bigram LM quality scores (functions/lm.py):
     stupid-backoff log-likelihood per doc, quantized to integer
@@ -857,6 +894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalized_exact_dups": q_normalized_exact_dups,
         "latest_snapshot_per_url": q_latest_snapshot,
         "lm_doc_scores": q_lm_doc_scores,
+        "dedup_tiers": q_dedup_tiers,
     }
 
 
@@ -1616,6 +1654,74 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, warc_ts, payload_md5,
                    CAST(n_snapshots AS BIGINT) AS n_snapshots
             FROM ranked WHERE rn = 1
+        """,
+        "dedup_tiers": rf"""
+            WITH RECURSIVE corpus AS (
+              SELECT lpad(CAST(doc_id AS VARCHAR), 10, '0') AS url, text
+              FROM documents
+              UNION ALL
+              SELECT lpad(CAST(doc_id + 10000000 AS VARCHAR), 10, '0'), text
+              FROM documents WHERE doc_id % 10 = 0
+              UNION ALL
+              SELECT lpad(CAST(doc_id + 20000000 AS VARCHAR), 10, '0'),
+                     replace(upper(translate(text, '0123456789', '9876543210')),
+                             ' ', '  ')
+              FROM documents WHERE doc_id % 7 = 0),
+            e AS (
+              SELECT url, md5(text) AS k,
+                     count(*) OVER (PARTITION BY md5(text)) AS cs
+              FROM corpus),
+            nrm AS (
+              SELECT url,
+                     md5(trim(regexp_replace(regexp_replace(regexp_replace(
+                       lower(text), '[0-9]', '0', 'g'),
+                       '[^\p{{L}}\p{{N}}\s]', ' ', 'g'),
+                       '\s+', ' ', 'g'))) AS k
+              FROM corpus),
+            nn AS (
+              SELECT url, k, count(*) OVER (PARTITION BY k) AS cs FROM nrm),
+            t AS (
+              SELECT url,
+                     string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+              FROM corpus),
+            s AS (
+              SELECT url,
+                     list_distinct([array_to_string(toks[i:i+4], ' ')
+                                    for i in range(1, len(toks) - 3)]) AS shingles
+              FROM t WHERE len(toks) >= 5),
+            pairs AS (
+              SELECT a.url AS ua, b.url AS ub
+              FROM s a JOIN s b ON a.url < b.url
+              WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                    / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8),
+            edges AS (
+              SELECT ua AS u, ub AS v FROM pairs
+              UNION
+              SELECT ub, ua FROM pairs),
+            reach AS (
+              SELECT u, v FROM edges
+              UNION
+              SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u),
+            lab AS (
+              SELECT u AS url, least(u, min(v)) AS cmin FROM reach GROUP BY u),
+            tagged AS (
+              SELECT c.url,
+                     CASE WHEN eg.k IS NOT NULL THEN 'exact'
+                          WHEN ngg.k IS NOT NULL THEN 'normalized'
+                          WHEN l.cmin IS NOT NULL THEN 'near_dup'
+                          ELSE 'unique' END AS tier,
+                     COALESCE(eg.k, ngg.k, l.cmin, c.url) AS group_id
+              FROM corpus c
+              LEFT JOIN (SELECT url, k FROM e WHERE cs >= 2) eg USING (url)
+              LEFT JOIN (SELECT url, k FROM nn WHERE cs >= 2) ngg USING (url)
+              LEFT JOIN lab l USING (url)),
+            g AS (
+              SELECT tier, group_id, min(url) AS canonical_url,
+                     count(*) AS group_size
+              FROM tagged GROUP BY 1, 2)
+            SELECT tg.url, tg.tier, tg.group_id, g.canonical_url,
+                   CAST(g.group_size AS BIGINT) AS group_size
+            FROM tagged tg JOIN g USING (tier, group_id)
         """,
         "lm_doc_scores": f"""
             WITH toks AS (

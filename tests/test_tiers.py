@@ -90,6 +90,39 @@ def test_latest_snapshot_is_an_aggregate_not_a_window(spark):
     assert "Aggregate" in plan
 
 
+# ------------------------------------------------------------------ tier rollup
+
+def test_dedup_tiers_precedence_and_groups(spark):
+    from deduplicator_spark.operators.tiers import dedup_tiers, tier_summary
+
+    pages = spark.createDataFrame(
+        [
+            ("a1", "some web page about cats"),
+            ("a2", "some web page about cats"),  # byte-identical -> exact
+            ("b1", "Weather report: 21 degrees today!"),
+            ("b2", "weather REPORT   99 degrees today"),  # folds -> normalized
+            ("c1", "lone unique document with its own words"),
+        ],
+        ["url", "text"],
+    )
+    # near-dup membership supplied by the caller (chain tested elsewhere):
+    # say a1/a2 also near-dup each other — exact must still win by precedence
+    near = spark.createDataFrame(
+        [("a1", "a1"), ("a2", "a1")], ["url", "cluster_id"]
+    )
+    out = {r["url"]: r for r in dedup_tiers(pages, near).collect()}
+    assert out["a1"]["tier"] == "exact" and out["a2"]["tier"] == "exact"
+    assert out["a1"]["canonical_url"] == "a1" and out["a2"]["canonical_url"] == "a1"
+    assert out["b1"]["tier"] == "normalized" and out["b2"]["tier"] == "normalized"
+    assert out["b1"]["group_id"] == out["b2"]["group_id"]
+    assert out["c1"]["tier"] == "unique" and out["c1"]["group_size"] == 1
+
+    summary = {r["tier"]: r for r in tier_summary(dedup_tiers(pages, near)).collect()}
+    assert summary["exact"]["n_redundant"] == 1
+    assert summary["normalized"]["n_groups"] == 1
+    assert summary["unique"]["n_redundant"] == 0
+
+
 # ------------------------------------------------------------------- LM score
 
 def test_lm_score_prefers_corpus_typical_docs(spark):
