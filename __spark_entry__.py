@@ -42,6 +42,7 @@ GOLDEN_IVF_CELLS = os.path.join(GOLDEN_DIR, "ivf_cells_sf001.parquet")
 GOLDEN_SUBSTRING = os.path.join(GOLDEN_DIR, "substring_pairs_n500.parquet")
 GOLDEN_SPANS = os.path.join(GOLDEN_DIR, "span_dedup_n500.parquet")
 GOLDEN_ROLLING = os.path.join(GOLDEN_DIR, "rolling_fp_sf001.parquet")
+GOLDEN_CDC = os.path.join(GOLDEN_DIR, "cdc_chunks_sf001.parquet")
 
 # normalized-text SQL fragment shared by the oracle queries (must mirror
 # deduplicator_spark.functions.text.normalize_text exactly)
@@ -810,6 +811,46 @@ def q_dedup_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_tiers(corpus, near)
 
 
+def _cdc_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sf docs + byte-identical plant (+10M, every 10th) + prefix-
+    shifted plant (+30M, every 13th) — the shifted copy is the case
+    fixed windows miss and CDC must resync on.  Mirrored exactly by
+    tools/make_goldens.py make_cdc_chunks."""
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    byte_plant = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    shifted = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 30_000_000).alias("doc_id"),
+        F.concat(F.lit("PREFIX WRAP: "), F.col("text")).alias("text"),
+    )
+    return docs.unionByName(byte_plant).unionByName(shifted)
+
+
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (operators/cdc.py): Gear-hash chunk
+    table, checked against the committed golden built by a sequential
+    byte-at-a-time reference implementation (tools/make_goldens.py)."""
+    from deduplicator_spark.operators.cdc import cdc_chunk_table
+
+    return cdc_chunk_table(
+        _cdc_corpus(spark, sf_dir), url_col="doc_id",
+        min_len=32, avg_len=128, max_len=512,
+    )
+
+
+def q_cdc_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-dedup savings per doc from the CDC chunk table; the
+    oracle replays the aggregation in SQL over the golden chunks."""
+    from deduplicator_spark.operators.cdc import cdc_chunk_table, cdc_dedup_stats
+
+    chunks = cdc_chunk_table(
+        _cdc_corpus(spark, sf_dir), url_col="doc_id",
+        min_len=32, avg_len=128, max_len=512,
+    )
+    return cdc_dedup_stats(chunks, url_col="doc_id")
+
+
 def q_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained bigram LM quality scores (functions/lm.py):
     stupid-backoff log-likelihood per doc, quantized to integer
@@ -895,6 +936,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_snapshot_per_url": q_latest_snapshot,
         "lm_doc_scores": q_lm_doc_scores,
         "dedup_tiers": q_dedup_tiers,
+        "cdc_chunks": q_cdc_chunks,
+        "cdc_dup_stats": q_cdc_dup_stats,
     }
 
 
@@ -1722,6 +1765,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT tg.url, tg.tier, tg.group_id, g.canonical_url,
                    CAST(g.group_size AS BIGINT) AS group_size
             FROM tagged tg JOIN g USING (tier, group_id)
+        """,
+        "cdc_chunks": f"""
+            SELECT doc_id, chunk_idx, start, length, chunk_md5
+            FROM read_parquet('{GOLDEN_CDC}')
+        """,
+        "cdc_dup_stats": f"""
+            WITH c AS (SELECT * FROM read_parquet('{GOLDEN_CDC}')),
+            sh AS (
+              SELECT chunk_md5 FROM c
+              GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+            f AS (
+              SELECT c.doc_id, c.length,
+                     (sh.chunk_md5 IS NOT NULL) AS is_dup
+              FROM c LEFT JOIN sh USING (chunk_md5))
+            SELECT doc_id,
+                   count(*) AS n_chunks,
+                   CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_dup_chunks,
+                   CAST(sum(CASE WHEN is_dup THEN length ELSE 0 END) AS BIGINT)
+                     AS dup_bytes,
+                   CAST(sum(length) AS BIGINT) AS total_bytes,
+                   round(CAST(sum(CASE WHEN is_dup THEN length ELSE 0 END) AS DOUBLE)
+                         / CAST(sum(length) AS DOUBLE), 4) AS dup_byte_ratio
+            FROM f GROUP BY doc_id
         """,
         "lm_doc_scores": f"""
             WITH toks AS (

@@ -313,6 +313,86 @@ def make_span_dedup(pages_path: str, L: int = MIN_SUB_LEN) -> str:
     return out
 
 
+def make_cdc_chunks(
+    min_len: int = 32, avg_len: int = 128, max_len: int = 512, seed: int = 42
+) -> str:
+    # 32/128/512 (not the operator's web-page defaults) so the few-
+    # hundred-byte sf0.01 docs split into several chunks each and the
+    # shift-resync property is actually exercised at fixture scale
+    """Golden CDC chunk table over sf0.01 documents + the same plants
+    the `cdc_chunks` entry query applies (byte dup of every 10th doc at
+    +10M, 'PREFIX WRAP: '-shifted copy of every 13th at +30M).
+
+    INDEPENDENT implementation: the Gear hash is the sequential
+    byte-at-a-time recurrence ``h = (h<<1) + gear[b] mod 2^64`` and the
+    boundary walk scans positions forward — the engine's kernel
+    (operators/cdc.py) is a 64-lane windowed vectorization with a
+    candidate-index walk; agreeing output pins both.
+    """
+    import hashlib
+
+    gear = [
+        int.from_bytes(hashlib.md5(f"gear-{seed}-{b}".encode()).digest()[:8], "big")
+        for b in range(256)
+    ]
+
+    def chunks_of(data: bytes) -> list[tuple[int, int, str]]:
+        n = len(data)
+        h, cands = 0, set()
+        for pos in range(n):
+            h = ((h << 1) + gear[data[pos]]) & 0xFFFFFFFFFFFFFFFF
+            if h & (avg_len - 1) == 0:
+                cands.add(pos)
+        out, start = [], 0
+        while start < n:
+            limit = min(start + max_len, n)
+            end = None
+            for pos in range(start + min_len - 1, limit):
+                if pos in cands:
+                    end = pos
+                    break
+            if end is None:
+                end = limit - 1
+            out.append(
+                (start, end - start + 1, hashlib.md5(data[start : end + 1]).hexdigest())
+            )
+            start = end + 1
+        return out
+
+    docs = pd.read_parquet(os.path.join(SF001, "documents.parquet"))[
+        ["doc_id", "text"]
+    ]
+    corpus = [(int(r.doc_id), r.text) for r in docs.itertuples()]
+    corpus += [
+        (int(r.doc_id) + 10_000_000, r.text)
+        for r in docs.itertuples()
+        if r.doc_id % 10 == 0
+    ]
+    corpus += [
+        (int(r.doc_id) + 30_000_000, "PREFIX WRAP: " + r.text)
+        for r in docs.itertuples()
+        if r.doc_id % 13 == 0
+    ]
+    rows = []
+    for doc_id, text in corpus:
+        for i, (s, ln, d) in enumerate(chunks_of(text.encode("utf-8"))):
+            rows.append((doc_id, i, s, ln, d))
+    out = os.path.join(GOLDEN, "cdc_chunks_sf001.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "chunk_idx": pa.array([r[1] for r in rows], pa.int32()),
+                "start": pa.array([r[2] for r in rows], pa.int32()),
+                "length": pa.array([r[3] for r in rows], pa.int32()),
+                "chunk_md5": pa.array([r[4] for r in rows], pa.string()),
+            }
+        ),
+        out,
+    )
+    return out
+
+
 def main() -> None:
     os.makedirs(GOLDEN, exist_ok=True)
     p = make_pages()
@@ -324,6 +404,7 @@ def main() -> None:
     sub, n = make_substring_pairs(p)
     print("substring:", sub, n, "pairs")
     print("span_dedup:", make_span_dedup(p))
+    print("cdc_chunks:", make_cdc_chunks())
 
 
 if __name__ == "__main__":
