@@ -185,10 +185,20 @@ def main() -> None:
 
     timed("q6_segment_dedup", q6, runs=2)
 
-    # q1b is an alternate verify shape of q1 and q6 is a new op added
+    # q7: content-defined chunking + chunk dedup stats over the corpus
+    def q7():
+        from deduplicator_spark.operators.cdc import cdc_chunk_table, cdc_dedup_stats
+
+        pages = spark.read.parquet(corpus).repartition(cpus * 3)
+        chunks = cdc_chunk_table(pages, url_col="url")
+        return cdc_dedup_stats(chunks, url_col="url").count()
+
+    timed("q7_cdc_chunk_dedup", q7, runs=2)
+
+    # q1b is an alternate verify shape of q1; q6/q7 are new ops added
     # after BASELINE.md was frozen — keep the headline total comparable
-    # across rounds by excluding both
-    _extra = {"q1b_lsh_dedup_recompute", "q6_segment_dedup"}
+    # across rounds by excluding them
+    _extra = {"q1b_lsh_dedup_recompute", "q6_segment_dedup", "q7_cdc_chunk_dedup"}
     total = round(sum(v for k, v in timings.items() if k not in _extra), 3)
     result = {
         "metric": "e2e_near_dup_dedup",

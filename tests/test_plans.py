@@ -194,3 +194,44 @@ def test_url_dedup_prunes_and_partial_aggs(spark):
     assert plan.count("HashAggregate") >= 2
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+def test_lm_score_stays_jvm_and_partial_aggs(spark):
+    """Bigram-LM training and scoring must be pure JVM column algebra
+    (split/transform/explode/join/agg) — no Python eval nodes — and
+    both count aggregations must partial-aggregate map-side."""
+    from deduplicator_spark.functions.lm import lm_score, train_bigram_lm
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    uni, bi = train_bigram_lm(docs)
+    plan = _plan(lm_score(docs, uni, bi))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, f"LM path fell back to Python: {marker}"
+    assert plan.count("HashAggregate") >= 4  # partial+final for counts and doc sums
+
+
+def test_dedup_tiers_exchanges_carry_no_text(spark):
+    """The tier rollup's url-keyed joins and the group agg must shuffle
+    only keys/digests — document text never crosses an exchange."""
+    import re
+
+    from deduplicator_spark.operators.tiers import dedup_tiers
+
+    pages = spark.read.parquet("tests/golden/pages_n500_s42.parquet").select("url", "text")
+    near = pages.select("url", F.col("url").alias("cluster_id")).limit(0)
+    plan = _plan(dedup_tiers(pages, near))
+    blocks = re.findall(r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]", plan)
+    assert blocks, "no exchanges found — plan shape changed?"
+    for inp in blocks:
+        assert not re.search(r"\btext#", inp), f"text crosses an exchange: {inp}"
+
+
+def test_normalized_exact_reads_only_needed_columns(spark):
+    """normalized_exact_clusters on a wide table: parquet scan must
+    prune to (url, text) — the html/binary column stays unread."""
+    from deduplicator_spark.operators.exact import normalized_exact_clusters
+
+    pages = spark.read.parquet("tests/golden/pages_n500_s42.parquet")
+    plan = _plan(normalized_exact_clusters(pages))
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "html" not in read_schema and "warc_ts" not in read_schema
