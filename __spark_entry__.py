@@ -851,6 +851,47 @@ def q_cdc_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_dedup_stats(chunks, url_col="doc_id")
 
 
+def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair precision/recall/F1 (operators/evaluate.py) of two cluster
+    assignments against the golden fixture's PLANTED truth — one row
+    per method.  Pair counts are C(n,2) combinatorics over group
+    sizes, never materialized pairs.
+
+    Reading the numbers: planted truth is deliberately adversarial —
+    'near' truth clusters include sub-J0.8 members and the substring
+    plants share >=50-char boilerplate across unrelated clusters, so
+    no J>=0.8 method can hit P=R=1 here.  (Equivalence to the
+    REFERENCE RULE — brute-force exact Jaccard at the frozen config —
+    is the separate, exact check: `minhash_near_dup_pairs` matches it
+    pair-for-pair, i.e. recall 1.0 vs the reference assignment.)
+    The lsh+substring row shows why the pipeline does span REMOVAL
+    (operators/spans.py) instead of clustering docs on substring
+    edges: transitive boilerplate merges tank pair precision."""
+    from deduplicator_spark.operators.evaluate import pair_metrics
+    from deduplicator_spark.operators.substring import substring_pairs
+
+    pages = spark.read.parquet(GOLDEN_PAGES).select("url", "text", "truth_cluster_id")
+    truth = pages.select("url", "truth_cluster_id")
+    fp = (
+        pages.select("url", make_fingerprint_udf(CFG)(F.col("text")).alias("f"))
+        .select("url", "f.*")
+        .localCheckpoint()
+    )
+    banded = band_explode(fp, CFG)
+    cand, _ = candidate_pairs(banded, CFG)
+    near_edges = verify_pairs(cand, fp, CFG).select("url_a", "url_b").localCheckpoint()
+    sub_edges, _ = substring_pairs(pages.select("url", "text"), CFG)
+    both = near_edges.unionByName(sub_edges.select("url_a", "url_b"))
+
+    rows = []
+    for method, edges in (("lsh", near_edges), ("lsh+substring", both)):
+        pred = clusters_from_pairs(edges, min_size=2).select("url", "cluster_id")
+        rows.append(
+            pair_metrics(pred, truth).select(F.lit(method).alias("method"), "*")
+        )
+    return rows[0].unionByName(rows[1])
+
+
 def q_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained bigram LM quality scores (functions/lm.py):
     stupid-backoff log-likelihood per doc, quantized to integer
@@ -938,6 +979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_tiers": q_dedup_tiers,
         "cdc_chunks": q_cdc_chunks,
         "cdc_dup_stats": q_cdc_dup_stats,
+        "dedup_eval": q_dedup_eval,
     }
 
 
@@ -1765,6 +1807,71 @@ def oracle_sql() -> dict[str, str]:
             SELECT tg.url, tg.tier, tg.group_id, g.canonical_url,
                    CAST(g.group_size AS BIGINT) AS group_size
             FROM tagged tg JOIN g USING (tier, group_id)
+        """,
+        "dedup_eval": rf"""
+            WITH RECURSIVE pages AS (
+              SELECT url, text, truth_cluster_id
+              FROM read_parquet('{GOLDEN_PAGES}')),
+            t AS (
+              SELECT url,
+                     string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+              FROM pages),
+            s AS (
+              SELECT url,
+                     list_distinct([array_to_string(toks[i:i+4], ' ')
+                                    for i in range(1, len(toks) - 3)]) AS shingles
+              FROM t WHERE len(toks) >= 5),
+            near AS (
+              SELECT a.url AS url_a, b.url AS url_b
+              FROM s a JOIN s b ON a.url < b.url
+              WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                    / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8),
+            sub AS (SELECT url_a, url_b FROM read_parquet('{GOLDEN_SUBSTRING}')),
+            both0 AS (SELECT url_a, url_b FROM near
+                      UNION SELECT url_a, url_b FROM sub),
+            edges_n AS (SELECT url_a AS u, url_b AS v FROM near
+                        UNION SELECT url_b, url_a FROM near),
+            edges_b AS (SELECT url_a AS u, url_b AS v FROM both0
+                        UNION SELECT url_b, url_a FROM both0),
+            reach_n AS (
+              SELECT u, v FROM edges_n
+              UNION
+              SELECT r.u, e.v FROM reach_n r JOIN edges_n e ON r.v = e.u),
+            reach_b AS (
+              SELECT u, v FROM edges_b
+              UNION
+              SELECT r.u, e.v FROM reach_b r JOIN edges_b e ON r.v = e.u),
+            lab AS (
+              SELECT 'lsh' AS method, u AS url, least(u, min(v)) AS cluster_id
+              FROM reach_n GROUP BY u
+              UNION ALL
+              SELECT 'lsh+substring', u, least(u, min(v))
+              FROM reach_b GROUP BY u),
+            tp AS (
+              SELECT method,
+                     CAST(coalesce(sum(n * (n-1) // 2), 0) AS BIGINT) AS tp_pairs
+              FROM (SELECT l.method, l.cluster_id, p.truth_cluster_id,
+                           count(*) AS n
+                    FROM lab l JOIN pages p USING (url) GROUP BY 1, 2, 3)
+              GROUP BY method),
+            pp AS (
+              SELECT method,
+                     CAST(coalesce(sum(n * (n-1) // 2), 0) AS BIGINT) AS pred_pairs
+              FROM (SELECT method, cluster_id, count(*) AS n
+                    FROM lab GROUP BY 1, 2)
+              GROUP BY method),
+            tr AS (SELECT CAST(coalesce(sum(n * (n-1) // 2), 0) AS BIGINT)
+                     AS truth_pairs
+                   FROM (SELECT count(*) AS n FROM pages GROUP BY truth_cluster_id)),
+            nd AS (SELECT count(*) AS n_docs FROM pages)
+            SELECT tp.method, n_docs, tp_pairs, pred_pairs, truth_pairs,
+                   round(tp_pairs / CAST(pred_pairs AS DOUBLE), 6) AS precision,
+                   round(tp_pairs / CAST(truth_pairs AS DOUBLE), 6) AS recall,
+                   round(2.0 * (tp_pairs / CAST(pred_pairs AS DOUBLE))
+                             * (tp_pairs / CAST(truth_pairs AS DOUBLE))
+                         / ((tp_pairs / CAST(pred_pairs AS DOUBLE))
+                            + (tp_pairs / CAST(truth_pairs AS DOUBLE))), 6) AS f1
+            FROM tp JOIN pp USING (method), tr, nd
         """,
         "cdc_chunks": f"""
             SELECT doc_id, chunk_idx, start, length, chunk_md5

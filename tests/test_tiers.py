@@ -90,6 +90,49 @@ def test_latest_snapshot_is_an_aggregate_not_a_window(spark):
     assert "Aggregate" in plan
 
 
+def test_ccnet_normalize_matches_duckdb_oracle_fuzz(spark):
+    """Cross-engine parity: the DuckDB SQL fragment used by the
+    normalized_exact_dups / dedup_tiers oracles must reproduce
+    ccnet_normalize byte-for-byte — fuzzed over ASCII, Latin-1,
+    Greek/Cyrillic, CJK, emoji, and mixed punctuation/digit/space
+    soup so Java-regex vs RE2 unicode-class drift would surface here
+    instead of as a flaky oracle mismatch on new data."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(7)
+    alphabets = [
+        "abc XYZ 012 .,;!?",
+        "héllo wörld Æøå ñ",
+        "πολύ καλό Привет мир",
+        "日本語のテキスト 中文文本",
+        "tab\tnewline\nmix  \r spaces",
+        "emoji 🙂🚀 and — dashes – plus © symbols",
+        "digits 1234567890 in 2024-01-01 dates",
+    ]
+    texts = [
+        "".join(rng.choice(rng.choice(alphabets)) for _ in range(rng.randint(0, 60)))
+        for _ in range(300)
+    ] + alphabets + [""]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got_spark = [
+        r["n"] for r in df.select(ccnet_normalize("text").alias("n")).collect()
+    ]
+    con = duckdb.connect()
+    got_duck = [
+        con.execute(
+            r"""SELECT trim(regexp_replace(regexp_replace(regexp_replace(
+                  lower(?), '[0-9]', '0', 'g'),
+                  '[^\p{L}\p{N}\s]', ' ', 'g'),
+                  '\s+', ' ', 'g'))""",
+            [t],
+        ).fetchone()[0]
+        for t in texts
+    ]
+    assert got_spark == got_duck
+
+
 # ------------------------------------------------------------------ tier rollup
 
 def test_dedup_tiers_precedence_and_groups(spark):
@@ -121,6 +164,48 @@ def test_dedup_tiers_precedence_and_groups(spark):
     assert summary["exact"]["n_redundant"] == 1
     assert summary["normalized"]["n_groups"] == 1
     assert summary["unique"]["n_redundant"] == 0
+
+
+# ---------------------------------------------------------------- pair metrics
+
+def test_pair_metrics_hand_computed(spark):
+    """truth: {a,b,c}, {d,e}, f-singleton → 4 truth pairs.
+    pred: {a,b}, {c,d} → 2 pred pairs, 1 true (a,b).
+    P = 1/2, R = 1/4, F1 = 1/3.  Unclustered docs are implicit
+    singletons and cost recall, not errors."""
+    from deduplicator_spark.operators.evaluate import pair_metrics
+
+    truth = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 1), ("d", 2), ("e", 2), ("f", 3)],
+        ["url", "truth_cluster_id"],
+    )
+    pred = spark.createDataFrame(
+        [("a", "A"), ("b", "A"), ("c", "B"), ("d", "B")], ["url", "cluster_id"]
+    )
+    row = pair_metrics(pred, truth).collect()[0]
+    assert row["n_docs"] == 6
+    assert row["tp_pairs"] == 1 and row["pred_pairs"] == 2 and row["truth_pairs"] == 4
+    assert row["precision"] == 0.5 and row["recall"] == 0.25
+    assert row["f1"] == round(1 / 3, 6)
+
+
+def test_pair_metrics_never_materializes_pairs(spark):
+    """A 10k-member cluster must evaluate via C(n,2) arithmetic — the
+    plan contains aggregates and joins on group keys, never a
+    self-join that would expand ~5*10^7 pairs."""
+    from deduplicator_spark.operators.evaluate import pair_metrics
+
+    n = 10_000
+    pred = spark.range(n).selectExpr("CAST(id AS STRING) AS url", "'x' AS cluster_id")
+    truth = spark.range(n).selectExpr(
+        "CAST(id AS STRING) AS url", "CAST(id % 2 AS STRING) AS truth_cluster_id"
+    )
+    row = pair_metrics(pred, truth).collect()[0]
+    assert row["pred_pairs"] == n * (n - 1) // 2
+    k = n // 2
+    assert row["truth_pairs"] == 2 * (k * (k - 1) // 2)
+    assert row["tp_pairs"] == row["truth_pairs"]  # one pred cluster ⊇ both halves
+    assert row["recall"] == 1.0
 
 
 # ------------------------------------------------------------------- LM score
