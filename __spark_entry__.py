@@ -851,6 +851,26 @@ def q_cdc_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_dedup_stats(chunks, url_col="doc_id")
 
 
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational Bloom filter (functions/bloom.py): build the bitmap
+    over even-doc content digests, probe every doc digest plus planted
+    never-seen keys.  Every set bit replays in DuckDB (md5-derived
+    double hashing), so the oracle checks the exact bitmap semantics
+    including any false positives."""
+    from deduplicator_spark.functions.bloom import bloom_build, bloom_probe
+
+    m_bits, k = 1 << 16, 5
+    docs = _docs(spark, sf_dir)
+    seen = docs.filter(F.col("doc_id") % 2 == 0).select(F.md5("text").alias("key"))
+    probes = docs.select(F.md5("text").alias("key")).unionByName(
+        docs.filter(F.col("doc_id") % 5 == 0).select(
+            F.concat(F.lit("novel-"), F.col("doc_id").cast("string")).alias("key")
+        )
+    )
+    bloom = bloom_build(seen, "key", m_bits, k)
+    return bloom_probe(probes, bloom, "key", m_bits, k)
+
+
 def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pair precision/recall/F1 (operators/evaluate.py) of two cluster
     assignments against the golden fixture's PLANTED truth — one row
@@ -980,6 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunks": q_cdc_chunks,
         "cdc_dup_stats": q_cdc_dup_stats,
         "dedup_eval": q_dedup_eval,
+        "bloom_membership": q_bloom_membership,
     }
 
 
@@ -1807,6 +1828,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT tg.url, tg.tier, tg.group_id, g.canonical_url,
                    CAST(g.group_size AS BIGINT) AS group_size
             FROM tagged tg JOIN g USING (tier, group_id)
+        """,
+        "bloom_membership": """
+            WITH seen AS (
+              SELECT md5(text) AS key FROM documents WHERE doc_id % 2 = 0),
+            probes AS (
+              SELECT DISTINCT key FROM (
+                SELECT md5(text) AS key FROM documents
+                UNION ALL
+                SELECT 'novel-' || CAST(doc_id AS VARCHAR)
+                FROM documents WHERE doc_id % 5 = 0)),
+            spos AS (
+              SELECT unnest(list_transform(range(0, 5),
+                       i -> (h1 + i * h2) % 65536)) AS pos
+              FROM (SELECT ('0x' || substr(md5(key), 1, 15))::BIGINT % 65536 AS h1,
+                           ('0x' || substr(md5(key), 17, 15))::BIGINT % 65536 AS h2
+                    FROM seen)),
+            bloom AS (
+              SELECT pos // 60 AS word_idx,
+                     bit_or(1::BIGINT << CAST(pos % 60 AS INT)) AS word
+              FROM spos GROUP BY 1),
+            ppos AS (
+              SELECT key, unnest(list_transform(range(0, 5),
+                       i -> (h1 + i * h2) % 65536)) AS pos
+              FROM (SELECT key,
+                           ('0x' || substr(md5(key), 1, 15))::BIGINT % 65536 AS h1,
+                           ('0x' || substr(md5(key), 17, 15))::BIGINT % 65536 AS h2
+                    FROM probes)),
+            hits AS (
+              SELECT p.key,
+                     CASE WHEN b.word IS NOT NULL
+                               AND (b.word & (1::BIGINT << CAST(p.pos % 60 AS INT)))
+                                   = (1::BIGINT << CAST(p.pos % 60 AS INT))
+                          THEN 1 ELSE 0 END AS hit
+              FROM ppos p LEFT JOIN bloom b ON b.word_idx = p.pos // 60)
+            SELECT key, sum(hit) = 5 AS maybe_member
+            FROM hits GROUP BY key
         """,
         "dedup_eval": rf"""
             WITH RECURSIVE pages AS (
