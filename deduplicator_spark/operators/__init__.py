@@ -55,7 +55,11 @@ from deduplicator_spark.operators.segments import (
     segment_hashes,
     word_ngram_hashes,
 )
-from deduplicator_spark.operators.windows import windowed_dedup
+from deduplicator_spark.operators.windows import latest_snapshot, windowed_dedup
+from deduplicator_spark.operators.exact import normalized_exact_clusters
+from deduplicator_spark.operators.tiers import dedup_tiers, tier_summary
+from deduplicator_spark.operators.cdc import cdc_chunk_table, cdc_dedup_stats, chunk_doc
+from deduplicator_spark.operators.evaluate import pair_metrics
 
 __all__ = [
     "bucket_pairs",
@@ -107,4 +111,12 @@ __all__ = [
     "segment_hashes",
     "word_ngram_hashes",
     "windowed_dedup",
+    "latest_snapshot",
+    "normalized_exact_clusters",
+    "dedup_tiers",
+    "tier_summary",
+    "cdc_chunk_table",
+    "cdc_dedup_stats",
+    "chunk_doc",
+    "pair_metrics",
 ]
