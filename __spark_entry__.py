@@ -851,6 +851,18 @@ def q_cdc_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_dedup_stats(chunks, url_col="doc_id")
 
 
+def q_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-lang token-count quantiles (functions/quantiles.py):
+    distinct-value compression + one window cumsum — the reproducible
+    alternative to approx_percentile for threshold selection."""
+    from deduplicator_spark.functions.quantiles import grouped_quantiles
+
+    docs = _docs(spark, sf_dir).select(
+        "lang", n_tokens("text").cast("long").alias("value")
+    )
+    return grouped_quantiles(docs, "lang", "value", qs=(0.1, 0.5, 0.9, 0.99))
+
+
 def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relational Bloom filter (functions/bloom.py): build the bitmap
     over even-doc content digests, probe every doc digest plus planted
@@ -1001,6 +1013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_dup_stats": q_cdc_dup_stats,
         "dedup_eval": q_dedup_eval,
         "bloom_membership": q_bloom_membership,
+        "token_quantiles": q_token_quantiles,
     }
 
 
@@ -1828,6 +1841,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT tg.url, tg.tier, tg.group_id, g.canonical_url,
                    CAST(g.group_size AS BIGINT) AS group_size
             FROM tagged tg JOIN g USING (tier, group_id)
+        """,
+        "token_quantiles": f"""
+            WITH v AS (SELECT lang, {_NTOK} AS value FROM documents),
+            c AS (SELECT lang, value, count(*) AS n FROM v GROUP BY 1, 2),
+            cum AS (
+              SELECT lang, value,
+                     sum(n) OVER (PARTITION BY lang ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                     sum(n) OVER (PARTITION BY lang) AS total
+              FROM c),
+            e AS (SELECT lang, value, cum, total,
+                         unnest([0.1::DOUBLE, 0.5::DOUBLE,
+                                 0.9::DOUBLE, 0.99::DOUBLE]) AS q FROM cum)
+            SELECT lang, q, CAST(min(value) AS BIGINT) AS value
+            FROM e WHERE cum >= ceil(q * total) GROUP BY 1, 2
         """,
         "bloom_membership": """
             WITH seen AS (
