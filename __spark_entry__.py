@@ -276,6 +276,51 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup: containment |A∩B| / min(|A|,|B|) over
+    char-8-gram sets — catches a short doc embedded in a long one,
+    which symmetric Jaccard misses (J ~ 0.5 for a perfect half).
+    Plants a first-half truncation of every 17th doc (+40M id):
+    containment ~1.0 vs its source.  Same skew-capped gram-bucket
+    candidates as the Jaccard sibling (any containment > 0 shares a
+    gram -> recall 1.0); exact set arithmetic verifies."""
+    from deduplicator_spark.functions.text import char_ngrams_hashed
+    from deduplicator_spark.operators.buckets import bucket_pairs
+
+    docs = _docs(spark, sf_dir)
+    base = docs.select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("url"), "text"
+    )
+    half = docs.filter(F.col("doc_id") % 17 == 0).select(
+        F.lpad((F.col("doc_id") + 40_000_000).cast("string"), 10, "0").alias("url"),
+        F.expr("substring(text, 1, CAST(floor(length(text)/2) AS INT))").alias("text"),
+    )
+    sets = (
+        base.unionByName(half)
+        .select("url", char_ngrams_hashed("text", 8).alias("grams"))
+        .filter(F.size("grams") > 0)
+        .localCheckpoint()
+    )
+    grams = sets.select("url", F.explode("grams").alias("g"))
+    cand, _ = bucket_pairs(grams, ["g"], CFG.max_band_bucket)
+    p = (
+        cand.join(sets.withColumnsRenamed({"url": "url_a", "grams": "g_a"}), "url_a")
+        .join(sets.withColumnsRenamed({"url": "url_b", "grams": "g_b"}), "url_b")
+    )
+    cont = F.size(F.array_intersect("g_a", "g_b")).cast("double") / F.least(
+        F.size("g_a"), F.size("g_b")
+    )
+    return (
+        p.withColumn("containment", cont)
+        .filter(F.col("containment") >= 0.9)
+        .select(
+            F.col("url_a").cast("long").alias("id_a"),
+            F.col("url_b").cast("long").alias("id_b"),
+            F.round("containment", 6).alias("containment"),
+        )
+    )
+
+
 def q_cross_snapshot_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-over-snapshot dedup: docs with doc_id % 3 == 0 play the
     incoming crawl, the rest the frozen corpus; emit (new, old) pairs
@@ -1014,6 +1059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_eval": q_dedup_eval,
         "bloom_membership": q_bloom_membership,
         "token_quantiles": q_token_quantiles,
+        "ngram_containment_pairs": q_ngram_containment_pairs,
     }
 
 
@@ -1465,6 +1511,26 @@ def oracle_sql() -> dict[str, str]:
             FROM g a JOIN g b ON a.doc_id < b.doc_id
             WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
                   / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
+        """,
+        "ngram_containment_pairs": r"""
+            WITH corpus AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 40000000,
+                     substr(text, 1, CAST(floor(length(text)/2) AS INT))
+              FROM documents WHERE doc_id % 17 = 0),
+            t AS (
+              SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+              FROM corpus),
+            g AS (
+              SELECT doc_id, list_distinct([nt[i:i+7] for i in range(1, length(nt) - 6)]) AS grams
+              FROM t WHERE length(nt) >= 8)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.grams, b.grams))::DOUBLE
+                         / least(len(a.grams), len(b.grams)), 6) AS containment
+            FROM g a JOIN g b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+                  / least(len(a.grams), len(b.grams)) >= 0.9
         """,
         "cross_snapshot_pairs": r"""
             WITH t AS (
