@@ -56,6 +56,55 @@ def test_shift_resync_shares_tail_chunks():
     assert overlap > 0.8, f"resync overlap only {overlap:.2f}"
 
 
+def test_chunk_invariants_hypothesis():
+    """Property-based: for arbitrary unicode text and any valid
+    (min, avg, max) config, chunks are contiguous, cover the byte
+    range, respect bounds, and hash correctly; and the kernel equals a
+    sequential recurrence re-derivation of the same boundaries."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from deduplicator_spark.operators.cdc import gear_table
+
+    gear = [int(x) for x in gear_table()]
+
+    def chunks_ref(data: bytes, min_len: int, avg_len: int, max_len: int):
+        n, h, cands = len(data), 0, set()
+        for pos in range(n):
+            h = ((h << 1) + gear[data[pos]]) & 0xFFFFFFFFFFFFFFFF
+            if h & (avg_len - 1) == 0:
+                cands.add(pos)
+        out, start = [], 0
+        while start < n:
+            limit = min(start + max_len, n)
+            end = next(
+                (p for p in range(start + min_len - 1, limit) if p in cands),
+                limit - 1,
+            )
+            out.append((start, end - start + 1))
+            start = end + 1
+        return out
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        text=st.text(max_size=3000),
+        cfg=st.sampled_from([(8, 32, 128), (32, 128, 512), (64, 256, 1024)]),
+    )
+    def check(text, cfg):
+        mn, avg, mx = cfg
+        data = text.encode("utf-8")
+        got = chunk_doc(text, mn, avg, mx)
+        assert [(s, ln) for s, ln, _ in got] == chunks_ref(data, mn, avg, mx)
+        pos = 0
+        for i, (s, ln, d) in enumerate(got):
+            assert s == pos and 1 <= ln <= mx
+            assert d == hashlib.md5(data[s : s + ln]).hexdigest()
+            pos += ln
+        assert pos == len(data)
+
+    check()
+
+
 def test_cdc_chunk_table_matches_kernel_and_long_keys(spark):
     pdf = pd.DataFrame({"doc_id": [1, 2], "text": ["alpha " * 50, ""]})
     df = spark.createDataFrame(pdf)
