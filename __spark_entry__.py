@@ -340,6 +340,33 @@ def q_cross_snapshot_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_assign_to_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-side dedup: each incoming doc is assigned to its
+    best-matching frozen-corpus doc — the reference's 'which cluster
+    does this file land in' flow (dupedb.py:255-257 bucket lookup) as
+    a top-1-per-new-doc reduction over the asymmetric cross-snapshot
+    pairs.  Ties break deterministically (jaccard desc, old id asc).
+    New docs matching nothing at J>=0.8 are 'new content' and are
+    simply absent (they'd seed new clusters downstream)."""
+    from pyspark.sql import Window
+
+    from deduplicator_spark.operators.lsh import cross_snapshot_pairs
+
+    fp = _docs_fp(spark, sf_dir).localCheckpoint()
+    is_new = F.col("url").cast("long") % 3 == 0
+    pairs, _ = cross_snapshot_pairs(fp.filter(is_new), fp.filter(~is_new), CFG)
+    w = Window.partitionBy("url_a").orderBy(F.desc("jaccard"), F.asc("url_b"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("url_a").cast("long").alias("id_new"),
+            F.col("url_b").cast("long").alias("assigned_to"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )
+
+
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH pairs -> connected components -> cluster table.  Oracled via
     a DuckDB WITH RECURSIVE transitive closure over the same pair SQL
@@ -896,6 +923,23 @@ def q_cdc_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_dedup_stats(chunks, url_col="doc_id")
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-over-crawl delta (operators/incremental.py snapshot_diff):
+    old = docs except every 7th, new = docs except every 5th with every
+    11th text revised — so all four statuses appear."""
+    from deduplicator_spark.operators.incremental import snapshot_diff
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    new = docs.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return snapshot_diff(old, new, key="doc_id")
+
+
 def q_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-lang token-count quantiles (functions/quantiles.py):
     distinct-value compression + one window cumsum — the reproducible
@@ -1060,6 +1104,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_membership": q_bloom_membership,
         "token_quantiles": q_token_quantiles,
         "ngram_containment_pairs": q_ngram_containment_pairs,
+        "snapshot_diff": q_snapshot_diff,
+        "assign_to_canonical": q_assign_to_canonical,
     }
 
 
@@ -1550,6 +1596,32 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_intersect(n.shingles, o.shingles))::DOUBLE
                   / len(list_distinct(list_concat(n.shingles, o.shingles))) >= 0.8
         """,
+        "assign_to_canonical": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+              FROM documents),
+            s AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(toks[i:i+4], ' ')
+                                    for i in range(1, len(toks) - 3)]) AS shingles
+              FROM t WHERE len(toks) >= 5),
+            pairs AS (
+              SELECT n.doc_id AS id_new, o.doc_id AS id_old,
+                     len(list_intersect(n.shingles, o.shingles))::DOUBLE
+                       / len(list_distinct(list_concat(n.shingles, o.shingles))) AS j
+              FROM s n JOIN s o
+                ON n.doc_id % 3 = 0 AND o.doc_id % 3 <> 0
+              WHERE len(list_intersect(n.shingles, o.shingles))::DOUBLE
+                    / len(list_distinct(list_concat(n.shingles, o.shingles))) >= 0.8),
+            ranked AS (
+              SELECT id_new, id_old, j,
+                     row_number() OVER (
+                       PARTITION BY id_new ORDER BY j DESC, id_old ASC) AS rn
+              FROM pairs)
+            SELECT id_new, id_old AS assigned_to, round(j, 6) AS jaccard
+            FROM ranked WHERE rn = 1
+        """,
         # --- the seven formerly-no_oracle queries (VERDICT r1 #1) ---
         "near_dup_clusters": r"""
             WITH RECURSIVE t AS (
@@ -1907,6 +1979,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT tg.url, tg.tier, tg.group_id, g.canonical_url,
                    CAST(g.group_size AS BIGINT) AS group_size
             FROM tagged tg JOIN g USING (tier, group_id)
+        """,
+        "snapshot_diff": """
+            WITH old AS (
+              SELECT doc_id, md5(text) AS m FROM documents WHERE doc_id % 7 <> 0),
+            new AS (
+              SELECT doc_id,
+                     md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2'
+                              ELSE text END) AS m
+              FROM documents WHERE doc_id % 5 <> 0)
+            SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+                   CASE WHEN old.m IS NULL THEN 'added'
+                        WHEN new.m IS NULL THEN 'removed'
+                        WHEN old.m <> new.m THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM old FULL OUTER JOIN new USING (doc_id)
         """,
         "token_quantiles": f"""
             WITH v AS (SELECT lang, {_NTOK} AS value FROM documents),

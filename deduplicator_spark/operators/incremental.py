@@ -112,3 +112,26 @@ def apply_journal(
         .withColumn("content_md5", F.coalesce("_new_md5", "content_md5"))
         .drop("_new_md5")
     )
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key: str = "url", text_col: str = "text"
+) -> DataFrame:
+    """Content-aware diff of two crawl snapshots: (key, status) with
+    status in {added, removed, changed, unchanged}.
+
+    The crawl-over-crawl delta report that drives incremental
+    re-fingerprinting: only 'added' + 'changed' rows re-enter the
+    pipeline.  One full-outer hash join on the key carrying only
+    32-byte digests — content never shuffles, output is O(|old ∪ new|).
+    """
+    o = old.select(F.col(key), F.md5(F.col(text_col)).alias("md5_old"))
+    n = new.select(F.col(key), F.md5(F.col(text_col)).alias("md5_new"))
+    return o.join(n, key, "full_outer").select(
+        key,
+        F.when(F.col("md5_old").isNull(), F.lit("added"))
+        .when(F.col("md5_new").isNull(), F.lit("removed"))
+        .when(F.col("md5_old") != F.col("md5_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )
