@@ -367,6 +367,39 @@ def q_assign_to_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental connected components (operators/components.py
+    update_clusters): docs %3==0 arrive as a new crawl; the frozen
+    corpus's labels are folded in as star edges and only the new
+    crawl's edges (new-new banding + asymmetric new-old
+    cross-snapshot) are generated.  The ORACLE is the from-scratch
+    recursive-CTE CC over the whole corpus — green means the
+    incremental path is exactly equivalent to a full recompute."""
+    from deduplicator_spark.operators.components import update_clusters
+    from deduplicator_spark.operators.lsh import cross_snapshot_pairs
+
+    fp = _docs_fp(spark, sf_dir).localCheckpoint()
+    is_new = F.col("url").cast("long") % 3 == 0
+    old_fp, new_fp = fp.filter(~is_new), fp.filter(is_new)
+
+    def _pairs(f):
+        banded = band_explode(f, CFG)
+        cand, _ = candidate_pairs(banded, CFG)
+        return verify_pairs(cand, f, CFG).select("url_a", "url_b")
+
+    old_labels = clusters_from_pairs(_pairs(old_fp), min_size=2).select(
+        "url", "cluster_id"
+    )
+    cross, _ = cross_snapshot_pairs(new_fp, old_fp, CFG)
+    new_edges = _pairs(new_fp).unionByName(cross.select("url_a", "url_b"))
+    updated = update_clusters(old_labels, new_edges, min_size=2)
+    return updated.select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_min_doc_id"),
+        "cluster_size",
+    )
+
+
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH pairs -> connected components -> cluster table.  Oracled via
     a DuckDB WITH RECURSIVE transitive closure over the same pair SQL
@@ -1106,6 +1139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_containment_pairs": q_ngram_containment_pairs,
         "snapshot_diff": q_snapshot_diff,
         "assign_to_canonical": q_assign_to_canonical,
+        "incremental_cc": q_incremental_cc,
     }
 
 
@@ -1271,7 +1305,7 @@ def oracle_sql() -> dict[str, str]:
         lang_case += f"WHEN {lang_exprs[lang]} = {best} THEN '{lang}' "
     lang_case += "ELSE 'und' END"
 
-    return {
+    out = {
         "exact_dup_clusters": """
             WITH docs AS (
               SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
@@ -2175,3 +2209,6 @@ def oracle_sql() -> dict[str, str]:
             FROM scored GROUP BY doc_id
         """,
     }
+    # the incremental path must equal a from-scratch recompute — same oracle
+    out["incremental_cc"] = out["near_dup_clusters"]
+    return out

@@ -19,7 +19,7 @@ from deduplicator_spark.operators.lsh import (
     verify_pairs_two_stage,
     verify_pairs_two_stage_recompute,
 )
-from deduplicator_spark.operators.components import connected_components, clusters_from_pairs
+from deduplicator_spark.operators.components import connected_components, clusters_from_pairs, update_clusters
 from deduplicator_spark.operators.ranking import (
     actions_from_ranking,
     super_state,
@@ -28,6 +28,7 @@ from deduplicator_spark.operators.ranking import (
 from deduplicator_spark.operators.series import filter_known_alts, series_info, with_series_columns
 from deduplicator_spark.operators.incremental import (
     apply_journal,
+    snapshot_diff,
     changed_fingerprints,
     new_docs,
     prune,
@@ -84,6 +85,7 @@ __all__ = [
     "verify_pairs",
     "connected_components",
     "clusters_from_pairs",
+    "update_clusters",
     "actions_from_ranking",
     "super_state",
     "with_canonical",
@@ -91,6 +93,7 @@ __all__ = [
     "series_info",
     "with_series_columns",
     "apply_journal",
+    "snapshot_diff",
     "changed_fingerprints",
     "new_docs",
     "prune",

@@ -108,6 +108,41 @@ def connected_components(
     return labels
 
 
+def update_clusters(
+    old_labels: DataFrame,
+    new_edges: DataFrame,
+    min_size: int = 2,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Incremental connected components: fold a new crawl's edges into
+    an existing cluster assignment WITHOUT re-running CC over the old
+    pair set.
+
+    ``old_labels``: (url, cluster_id) from the previous run.
+    ``new_edges``: (url_a, url_b) pairs touching at least one new doc
+    (new-new from banding the snapshot, new-old from
+    ``cross_snapshot_pairs``).
+
+    Each old cluster is re-encoded as a STAR (member -> its label), so
+    connectivity is preserved with |cluster|-1 edges instead of the
+    original pair set, and label propagation re-converges in
+    O(log diameter-of-NEW-merges) rounds — old components are already
+    depth-1.  The result is provably identical to a from-scratch CC
+    over (old pairs ∪ new edges), which is exactly what the oracle
+    checks (``incremental_cc`` replays the full recompute in SQL).
+
+    At 100 TB this is the difference between touching the 10^12-doc
+    pair history every crawl and touching O(|old labels| + |new
+    edges|) — and old_labels is already the compact per-doc table a
+    real deployment checkpoints.
+    """
+    star = old_labels.filter(F.col("url") != F.col("cluster_id")).select(
+        F.col("url").alias("url_a"), F.col("cluster_id").alias("url_b")
+    )
+    edges = star.unionByName(new_edges.select("url_a", "url_b"))
+    return clusters_from_pairs(edges, min_size=min_size, max_iter=max_iter)
+
+
 def clusters_from_pairs(
     pairs: DataFrame,
     all_docs: DataFrame | None = None,

@@ -40,3 +40,62 @@ def test_ring_kN_diameter_converges(spark):
 def test_nonconvergence_raises_loudly(spark):
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(_path_edges(spark, 300), max_iter=2)
+
+
+def test_update_clusters_equals_full_recompute_fuzz(spark):
+    """Incremental CC (old labels folded as star edges + only the new
+    crawl's edges) must equal a from-scratch CC over ALL edges, for
+    random graphs and random old/new doc splits — including merges of
+    several old clusters through one new doc."""
+    import random
+
+    from deduplicator_spark.operators.components import (
+        clusters_from_pairs,
+        update_clusters,
+    )
+
+    rng = random.Random(5)
+    for trial in range(3):
+        n = 80
+        edges = {
+            tuple(sorted((f"{rng.randrange(n):05d}", f"{rng.randrange(n):05d}")))
+            for _ in range(60)
+        }
+        edges = [(a, b) for a, b in edges if a != b]
+        new_docs = {f"{i:05d}" for i in range(n) if rng.random() < 0.3}
+        old_edges = [(a, b) for a, b in edges if a not in new_docs and b not in new_docs]
+        new_edges = [(a, b) for a, b in edges if a in new_docs or b in new_docs]
+
+        def df(rows):
+            return spark.createDataFrame(
+                rows or [("x", "x")], "url_a string, url_b string"
+            ).limit(len(rows))
+
+        old_labels = clusters_from_pairs(df(old_edges), min_size=2).select(
+            "url", "cluster_id"
+        )
+        got = {
+            (r["url"], r["cluster_id"], r["cluster_size"])
+            for r in update_clusters(old_labels, df(new_edges), min_size=2).collect()
+        }
+        want = {
+            (r["url"], r["cluster_id"], r["cluster_size"])
+            for r in clusters_from_pairs(df(edges), min_size=2).collect()
+        }
+        assert got == want, f"trial {trial}"
+
+
+def test_update_clusters_merges_two_old_clusters(spark):
+    from deduplicator_spark.operators.components import update_clusters
+
+    old = spark.createDataFrame(
+        [("a1", "a1"), ("a2", "a1"), ("b1", "b1"), ("b2", "b1")],
+        "url string, cluster_id string",
+    )
+    # a new doc bridges the two old clusters
+    new = spark.createDataFrame(
+        [("a2", "n1"), ("b1", "n1")], "url_a string, url_b string"
+    )
+    out = {r["url"]: r for r in update_clusters(old, new).collect()}
+    assert {r["cluster_id"] for r in out.values()} == {"a1"}
+    assert out["b2"]["cluster_size"] == 5
