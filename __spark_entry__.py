@@ -1046,6 +1046,15 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows[0].unionByName(rows[1])
 
 
+def q_tier_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Headline retention-savings table (operators/tiers.py
+    tier_summary): docs, groups, and keep-canonical deletions per
+    dedup tier, over the same planted corpus as `dedup_tiers`."""
+    from deduplicator_spark.operators.tiers import tier_summary
+
+    return tier_summary(q_dedup_tiers(spark, sf_dir))
+
+
 def q_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained bigram LM quality scores (functions/lm.py):
     stupid-backoff log-likelihood per doc, quantized to integer
@@ -1140,6 +1149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "assign_to_canonical": q_assign_to_canonical,
         "incremental_cc": q_incremental_cc,
+        "tier_summary": q_tier_summary,
     }
 
 
@@ -2211,4 +2221,11 @@ def oracle_sql() -> dict[str, str]:
     }
     # the incremental path must equal a from-scratch recompute — same oracle
     out["incremental_cc"] = out["near_dup_clusters"]
+    out["tier_summary"] = f"""
+        SELECT tier, count(*) AS n_docs,
+               count(DISTINCT group_id) AS n_groups,
+               CAST(sum(CASE WHEN url <> canonical_url THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_redundant
+        FROM ({out["dedup_tiers"]}) GROUP BY tier
+    """
     return out
