@@ -135,3 +135,105 @@ def stateful_exact_dedup(
         outputMode="update",
         timeoutConf=timeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming NEAR-dup candidates: band-bucket-keyed state
+# ---------------------------------------------------------------------------
+
+PAIR_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("url_a", T.StringType(), False),
+        T.StructField("url_b", T.StringType(), False),
+        T.StructField("band_idx", T.IntegerType(), False),
+    ]
+)
+
+PAIR_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("members", T.ArrayType(T.StringType()), False),
+        T.StructField("n_overflow", T.LongType(), False),
+    ]
+)
+
+
+def _near_group(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+    cap: int,
+    ttl_ms: int | None,
+) -> Iterator[pd.DataFrame]:
+    """Per-(band_idx, band_hash) callback: pair arriving docs against
+    the bucket's remembered members, then append them (capped)."""
+    if state.hasTimedOut:
+        state.remove()
+        return
+    arriving: list[str] = []
+    for pdf in pdfs:
+        arriving.extend(pdf["url"].tolist())
+    members, overflow = (state.get if state.exists else ([], 0))
+    cur = list(members)
+    seen = set(cur)
+    out_a: list[str] = []
+    out_b: list[str] = []
+    # sorted: deterministic under replay/repartitioning, where arrival
+    # order within a micro-batch is not
+    for u in sorted(set(arriving) - seen):
+        for m in cur:
+            a, b = (u, m) if u < m else (m, u)
+            out_a.append(a)
+            out_b.append(b)
+        if len(cur) < cap:
+            cur.append(u)
+        else:
+            overflow += 1
+    state.update((cur, overflow))
+    if ttl_ms is not None:
+        state.setTimeoutDuration(ttl_ms)
+    if out_a:
+        yield pd.DataFrame(
+            {"url_a": out_a, "url_b": out_b, "band_idx": int(key[0])}
+        )
+
+
+def stateful_near_dup_candidates(
+    banded: DataFrame,
+    max_bucket: int = 400,
+    ttl_minutes: int | None = None,
+) -> DataFrame:
+    """Streaming LSH candidate pairs with the band buckets AS the keyed
+    state — the ingest-time form of ``operators/lsh.candidate_pairs``.
+
+    ``banded`` is a streaming frame of (url, band_idx, band_hash) —
+    ``band_explode`` is pure JVM expressions, so it runs unchanged on a
+    readStream source fed by the fingerprint UDF.  Each state row
+    remembers one bucket's member urls (capped at ``max_bucket`` with
+    an overflow counter, mirroring the batch cap-and-audit policy); an
+    arriving doc emits a pair against every remembered member and joins
+    the bucket.  Downstream dedups pairs across bands and runs the
+    exact verify — same contract as the batch chain, so candidates are
+    emitted exactly once per (pair, band) with no recomputation over
+    history.
+
+    Scale shape: state is hash-partitioned by (band_idx, band_hash)
+    like any shuffle — each executor's state store holds only its
+    bucket shard, and TTL eviction bounds it to the crawl horizon.
+    """
+    ttl_ms = None if ttl_minutes is None else ttl_minutes * 60_000
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if ttl_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+
+    def fn(key, pdfs, state):
+        return _near_group(key, pdfs, state, max_bucket, ttl_ms)
+
+    return banded.groupBy("band_idx", "band_hash").applyInPandasWithState(
+        fn,
+        outputStructType=PAIR_OUTPUT_SCHEMA,
+        stateStructType=PAIR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
+    )

@@ -108,3 +108,87 @@ def test_stateful_dedup_requires_streaming_frame(spark):
     df = spark.createDataFrame([("u1", "h1")], SCHEMA)
     with pytest.raises(Exception):
         stateful_exact_dedup(df).collect()
+
+
+# ---------------------------------------------------------------- near-dup
+
+BAND_SCHEMA = "url string, band_idx int, band_hash int"
+
+
+def _run_pairs(spark, src_dir: str, ckpt_dir: str, out_dir: str, cap: int = 400):
+    from deduplicator_spark.streaming.stateful import stateful_near_dup_candidates
+
+    stream = spark.readStream.schema(BAND_SCHEMA).parquet(src_dir)
+    pairs = stateful_near_dup_candidates(stream, max_bucket=cap)
+
+    def sink(batch, _epoch):
+        batch.write.mode("append").parquet(out_dir)
+
+    q = (
+        pairs.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(out_dir)
+
+
+def test_streaming_candidates_match_batch_lsh(spark, small_pages, cfg, tmp_path):
+    """One micro-batch of the banded 300-page fixture: the distinct
+    streaming pair set equals the batch chain's verified-pair INPUT set
+    (same buckets, cap unbinding) — i.e. every batch candidate pair is
+    found by the stateful path and nothing else."""
+    from deduplicator_spark.functions.fingerprints import make_fingerprint_udf
+    from deduplicator_spark.operators.lsh import band_explode, candidate_pairs
+
+    fp_udf = make_fingerprint_udf(cfg)
+    fp = (
+        small_pages.select("url", fp_udf("text").alias("f"))
+        .select("url", "f.*")
+        .localCheckpoint()
+    )
+    banded = band_explode(fp, cfg).localCheckpoint()
+
+    src = str(tmp_path / "src")
+    banded.write.parquet(src)
+    out = _run_pairs(spark, src, str(tmp_path / "ckpt"), str(tmp_path / "out"), cap=10_000)
+    got = {
+        (r["url_a"], r["url_b"])
+        for r in out.select("url_a", "url_b").distinct().collect()
+    }
+    want_df, _ = candidate_pairs(banded, cfg)
+    want = {(r["url_a"], r["url_b"]) for r in want_df.collect()}
+    assert got == want
+
+
+def test_streaming_candidates_pair_across_batches_once(spark, tmp_path):
+    """Docs sharing a bucket across two micro-batches pair exactly once
+    (state remembers batch 1's members; no recompute over history)."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    b1 = [("a", 0, 7), ("b", 0, 7)]
+    b2 = [("c", 0, 7), ("d", 1, 9)]
+    spark.createDataFrame(b1, BAND_SCHEMA).write.mode("append").parquet(src)
+    _run_pairs(spark, src, ckpt, out)
+    spark.createDataFrame(b2, BAND_SCHEMA).write.mode("append").parquet(src)
+    got = _run_pairs(spark, src, ckpt, out)
+    pairs = sorted((r["url_a"], r["url_b"]) for r in got.collect())
+    assert pairs == [("a", "b"), ("a", "c"), ("b", "c")]  # d is alone in its bucket
+
+
+def test_streaming_candidates_cap_bounds_state(spark, tmp_path):
+    """A hot bucket stops absorbing members at the cap: members beyond
+    it still pair against the capped set but are not remembered."""
+    src = str(tmp_path / "src")
+    rows = [(f"u{i:02d}", 0, 5) for i in range(10)]
+    spark.createDataFrame(rows, BAND_SCHEMA).write.parquet(src)
+    got = _run_pairs(
+        spark, src, str(tmp_path / "ckpt"), str(tmp_path / "out"), cap=3
+    )
+    n = got.count()
+    # first 3 form C(3,2)=3 pairs; each of the 7 overflow docs pairs
+    # against the 3 remembered members only
+    assert n == 3 + 7 * 3
