@@ -195,10 +195,52 @@ def main() -> None:
 
     timed("q7_cdc_chunk_dedup", q7, runs=2)
 
-    # q1b is an alternate verify shape of q1; q6/q7 are new ops added
-    # after BASELINE.md was frozen — keep the headline total comparable
-    # across rounds by excluding them
-    _extra = {"q1b_lsh_dedup_recompute", "q6_segment_dedup", "q7_cdc_chunk_dedup"}
+    # q8: the S4 decode source in the measured path (VERDICT r2 #6) —
+    # the SAME flagship pipeline but starting from raw html, with the
+    # extractor deriving text inside the job.  Cluster output must
+    # equal the text-path run (byte-identity invariant).
+    def q8():
+        pages = spark.read.parquet(corpus)
+        out = DedupPipeline(spark, CFG, work_dir=None, run_id="bench-html").run(
+            pages, extract_text_from_html=True
+        )
+        return out["clusters"].count()
+
+    n_clusters_html = timed("q8_pipeline_from_html", q8, runs=2)
+
+    def q_text_clusters():
+        pages = spark.read.parquet(corpus)
+        out = DedupPipeline(spark, CFG, work_dir=None, run_id="bench-text").run(pages)
+        return out["clusters"].count()
+
+    assert n_clusters_html == q_text_clusters(), "html-path clusters != text-path"
+
+    # q9: full pipeline WITH the suffix-array substring stage at sf0.1
+    # (VERDICT r2 #8: the salt-group verify had never been profiled at
+    # 50k docs); per-stage wall times go into the JSON detail
+    q9_stages: dict[str, float] = {}
+
+    def q9():
+        pages = spark.read.parquet(corpus)
+        pipe = DedupPipeline(spark, CFG, work_dir=None, run_id="bench-sub")
+        out = pipe.run(pages, include_substring=True)
+        n = out["actions"].count()
+        q9_stages.clear()
+        q9_stages.update({m.stage: m.wall_s for m in pipe.metrics})
+        return n
+
+    timed("q9_pipeline_with_substring", q9, runs=2)
+
+    # q1b is an alternate verify shape of q1; q6-q9 are new ops/shapes
+    # added after BASELINE.md was frozen — keep the headline total
+    # comparable across rounds by excluding them
+    _extra = {
+        "q1b_lsh_dedup_recompute",
+        "q6_segment_dedup",
+        "q7_cdc_chunk_dedup",
+        "q8_pipeline_from_html",
+        "q9_pipeline_with_substring",
+    }
     total = round(sum(v for k, v in timings.items() if k not in _extra), 3)
     result = {
         "metric": "e2e_near_dup_dedup",
@@ -211,6 +253,7 @@ def main() -> None:
         "clustered_rows_q1": n_clustered,
         "cpus": cpus,
         "config": CFG.config_id,
+        "q9_stage_walls": q9_stages,
         "runs": runs_detail,
         # medians are the headline (comparable across rounds); the
         # per-query best is the contention floor on this shared box —

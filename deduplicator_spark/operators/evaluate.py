@@ -62,8 +62,16 @@ def pair_metrics(
     n_docs = truth.agg(F.count("*").alias("n_docs"))
 
     row = n_docs.crossJoin(cells).crossJoin(pred_pairs).crossJoin(truth_pairs)
-    p = F.col("tp_pairs") / F.col("pred_pairs").cast("double")
-    r = F.col("tp_pairs") / F.col("truth_pairs").cast("double")
+    # degenerate denominators are DEFINED as 0.0, not NULL (ADVICE r2
+    # #5): zero predicted pairs = zero precision, zero truth pairs =
+    # zero recall, and f1 follows
+    p = F.when(
+        F.col("pred_pairs") > 0, F.col("tp_pairs") / F.col("pred_pairs").cast("double")
+    ).otherwise(F.lit(0.0))
+    r = F.when(
+        F.col("truth_pairs") > 0, F.col("tp_pairs") / F.col("truth_pairs").cast("double")
+    ).otherwise(F.lit(0.0))
+    f1 = F.when(p + r > 0, F.lit(2.0) * p * r / (p + r)).otherwise(F.lit(0.0))
     return row.select(
         "n_docs",
         F.coalesce("tp_pairs", F.lit(0)).alias("tp_pairs"),
@@ -71,5 +79,5 @@ def pair_metrics(
         F.coalesce("truth_pairs", F.lit(0)).alias("truth_pairs"),
         F.round(p, 6).alias("precision"),
         F.round(r, 6).alias("recall"),
-        F.round(F.lit(2.0) * p * r / (p + r), 6).alias("f1"),
+        F.round(f1, 6).alias("f1"),
     )

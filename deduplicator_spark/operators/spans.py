@@ -144,7 +144,12 @@ def span_dedup(
         .select("url", F.explode(winnow(F.col(text_col))).alias("anchor"))
         .dropDuplicates(["url", "anchor"])
     )
-    cand, overflow = bucket_pairs(anchors, ["anchor"], max_bucket)
+    # overcap="star": span removal is a COVERAGE consumer — every doc
+    # in a hot anchor bucket (exactly the boilerplate case span removal
+    # targets) must still find a partner sharing the anchor, so
+    # over-cap buckets pair every member against the sorted min-url
+    # prefix instead of the connectivity-only ring (ADVICE r2 #1)
+    cand, overflow = bucket_pairs(anchors, ["anchor"], max_bucket, overcap="star")
 
     # coverage groups keyed by the LOSING side (url_b): partner (a)
     # texts ship once per pair, the b text once per occupied salt

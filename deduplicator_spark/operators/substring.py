@@ -113,6 +113,80 @@ def longest_common_substring_len(a: str, b: str) -> int:
     return _adjacent_lcp_max_cross(s, sa, doc_of)
 
 
+# fast exact LCS: binary search on "do the docs share an L-gram?" with
+# Rabin-Karp uint64 rolling hashes.  The base is ODD, hence invertible
+# mod 2^64: hash(i, L) = (P[i+L] - P[i]) * BASE^{-i} where
+# P[i] = sum_{j<i} s[j] * BASE^j — every probe is O(n) vectorized.
+_BINV = _U64(pow(int(_BASE), -1, 1 << 64))
+_POW_CACHE: dict[str, np.ndarray] = {}
+
+
+def _powers(n: int) -> tuple[np.ndarray, np.ndarray]:
+    """(BASE^j, BASE^-j) for j in [0, n] — grown geometrically and
+    cached per process (per Spark worker)."""
+    cur = _POW_CACHE.get("pow")
+    if cur is None or len(cur) <= n:
+        m = max(n + 1, 2 * len(cur) if cur is not None else 1024)
+        base_row = np.full(m, _BASE, dtype=_U64)
+        binv_row = np.full(m, _BINV, dtype=_U64)
+        base_row[0] = 1  # so cumprod[j] = BASE^j
+        binv_row[0] = 1
+        with np.errstate(over="ignore"):
+            _POW_CACHE["pow"] = np.cumprod(base_row)
+            _POW_CACHE["pinv"] = np.cumprod(binv_row)
+    return _POW_CACHE["pow"], _POW_CACHE["pinv"]
+
+
+def _prefix_hash(x: np.ndarray) -> np.ndarray:
+    """P[i] = sum_{j<i} x[j] * BASE^j (uint64 wraparound), length n+1."""
+    pw, _ = _powers(len(x))
+    p = np.empty(len(x) + 1, dtype=_U64)
+    p[0] = 0
+    with np.errstate(over="ignore"):
+        np.cumsum(x.astype(_U64) * pw[: len(x)], out=p[1:])
+    return p
+
+
+def _gram_hashes(p: np.ndarray, pinv: np.ndarray, n: int, L: int) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        return (p[L : n + 1] - p[: n - L + 1]) * pinv[: n - L + 1]
+
+
+def lcs_len_fast(xa: np.ndarray, xb: np.ndarray) -> int | None:
+    """Exact LCS length of two uint8 byte arrays, ~25x faster than the
+    per-pair suffix array on web-page lengths: binary search over L,
+    each probe one vectorized hash-set intersection with EXACT byte
+    confirmation of every candidate position (hash equality alone never
+    decides).  Returns None iff some probe hash-matched but no
+    candidate byte-confirmed (a 2^-64-scale collision) — the caller
+    falls back to the suffix-array path, so the result is never wrong.
+    """
+    na, nb = len(xa), len(xb)
+    if na == 0 or nb == 0:
+        return 0
+    _, pinv = _powers(max(na, nb))
+    pa, pb = _prefix_hash(xa), _prefix_hash(xb)
+
+    def exists(L: int) -> bool | None:
+        ha = _gram_hashes(pa, pinv, na, L)
+        hb = _gram_hashes(pb, pinv, nb, L)
+        _, ia, ib = np.intersect1d(ha, hb, return_indices=True)
+        if len(ia) == 0:
+            return False
+        offs = np.arange(L)
+        ok = (xa[ia[:, None] + offs] == xb[ib[:, None] + offs]).all(axis=1)
+        return True if bool(ok.any()) else None
+
+    lo, hi = 0, min(na, nb)
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        e = exists(mid)
+        if e is None:
+            return None
+        lo, hi = (mid, hi) if e else (lo, mid - 1)
+    return lo
+
+
 # --------------------------------------------------------------------------
 # winnowing anchors
 # --------------------------------------------------------------------------
@@ -187,28 +261,44 @@ def substring_pairs(
     )
     # same skew-shaped expansion as the LSH band join: hot anchors
     # (boilerplate substrings) are counted first, capped with audit,
-    # and identical anchor buckets collapse before pair expansion
-    cand, overflow = bucket_pairs(anchors, ["anchor"], max_bucket)
+    # and identical anchor buckets collapse before pair expansion.
+    # overcap="star" because substring reporting is a COVERAGE
+    # consumer: a doc in an over-cap anchor bucket must still be
+    # paired with someone sharing the anchor (ADVICE r2 #1)
+    cand, overflow = bucket_pairs(anchors, ["anchor"], max_bucket, overcap="star")
 
     # Group-by-doc verify shape (VERDICT r1: the old per-pair join
     # shipped BOTH texts once per pair, so a doc in 50 candidate pairs
     # crossed the shuffle 50 times).  Partner texts ship once per pair;
     # the a-side text ships once per OCCUPIED (url_a, salt) subgroup —
-    # at most ``n_salt`` copies for any star size and never more than
-    # the pair count, and it is normalized/Arrow-decoded once per
-    # subgroup.  The salt bounds task skew: a mega-star's pairs spread
-    # over ``n_salt`` tasks instead of one.  Self rows carry
+    # never more than the pair count, and it is normalized/Arrow-decoded
+    # once per subgroup.  Salting is ADAPTIVE: only docs with more than
+    # ``salt_threshold`` partners (mega-stars, where one task would
+    # otherwise verify the whole star) are spread over ``n_salt``
+    # subgroups — a static salt multiplied the applyInPandas GROUP
+    # COUNT ~4x at typical degrees (measured: group-call overhead, not
+    # the LCS math, dominated the verify stage).  Self rows carry
     # url_b = url_a (never null: a nullable long url column would
     # surface in pandas as float64 and corrupt full-range 64-bit
     # surrogate ids).
     n_salt = 16
+    salt_threshold = 64
     texts = pages.select("url", F.col(text_col).alias("t"))
-    salt = F.pmod(F.xxhash64("url_b"), F.lit(n_salt)).cast("int").alias("salt")
-    partners = cand.join(
+    deg = cand.groupBy("url_a").agg(F.count("*").alias("deg"))
+    salt = (
+        F.when(
+            F.col("deg") > salt_threshold, F.pmod(F.xxhash64("url_b"), F.lit(n_salt))
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("salt")
+    )
+    cand_deg = cand.join(deg, "url_a")
+    partners = cand_deg.join(
         texts.withColumnsRenamed({"url": "url_b", "t": "t"}), "url_b"
     ).select("url_a", "url_b", "t", F.lit(False).alias("is_self"), salt)
     selfs = (
-        cand.select("url_a", salt)
+        cand_deg.select("url_a", salt)
         .distinct()
         .join(texts.withColumnsRenamed({"url": "url_a"}), "url_a")
         .select("url_a", F.col("url_a").alias("url_b"), "t", F.lit(True).alias("is_self"), "salt")
@@ -222,10 +312,14 @@ def substring_pairs(
         if not len(self_rows) or not len(part):
             return pd.DataFrame(columns=["url_a", "url_b", "matched_len"])
         na = " ".join((self_rows["t"].iloc[0] or "").lower().split())
+        xa = np.frombuffer(na.encode("utf-8"), dtype=np.uint8)
         rows = []
         for url_a, url_b, tb in zip(part["url_a"], part["url_b"], part["t"]):
             nb = " ".join((tb or "").lower().split())
-            m = longest_common_substring_len(na, nb)
+            xb = np.frombuffer(nb.encode("utf-8"), dtype=np.uint8)
+            m = lcs_len_fast(xa, xb)
+            if m is None:  # unconfirmed hash collision — exact slow path
+                m = longest_common_substring_len(na, nb)
             if m >= min_len:
                 rows.append((url_a, url_b, m))
         return pd.DataFrame(rows, columns=["url_a", "url_b", "matched_len"])

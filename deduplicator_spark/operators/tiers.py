@@ -81,7 +81,13 @@ def dedup_tiers(
 def tier_summary(tiers: DataFrame, char_counts: DataFrame | None = None) -> DataFrame:
     """(tier, n_docs, n_groups, n_redundant) — the headline savings
     table: ``n_redundant`` is what a keep-canonical policy deletes.
-    One map-side-combined agg."""
+    One map-side-combined agg.
+
+    ``char_counts`` (url, n_chars), when given, adds a
+    ``redundant_chars`` column: the char-weighted savings of the
+    keep-canonical policy per tier (what actually matters for storage
+    and token budgets — doc COUNTS hide that near-dups skew long).
+    """
     out = tiers.groupBy("tier").agg(
         F.count("*").alias("n_docs"),
         F.countDistinct("group_id").alias("n_groups"),
@@ -89,4 +95,14 @@ def tier_summary(tiers: DataFrame, char_counts: DataFrame | None = None) -> Data
             "n_redundant"
         ),
     )
+    if char_counts is not None:
+        red = (
+            tiers.filter(F.col("url") != F.col("canonical_url"))
+            .join(char_counts.select("url", "n_chars"), "url")
+            .groupBy("tier")
+            .agg(F.sum("n_chars").cast("long").alias("redundant_chars"))
+        )
+        out = out.join(red, "tier", "left").withColumn(
+            "redundant_chars", F.coalesce("redundant_chars", F.lit(0))
+        )
     return out

@@ -76,21 +76,33 @@ def _dedup_group(
     urls: list[str] = []
     for pdf in pdfs:
         urls.extend(pdf["url"].tolist())
+    # sorted: dup_rank and the keep verdict are then deterministic
+    # under repartitioning/replay, where arrival order is not
+    # (ADVICE r2 #2 — the old arrival-order ranks were not)
+    urls = sorted(urls)
     if state.exists:
         canonical, seen = state.get
     else:
         canonical, seen = None, 0
     # first-seen-wins: once a key has a canonical it is FINAL (later
     # batches never steal it).  Within the key's first batch the min
-    # url wins — deterministic under repartitioning/replay, where
-    # arrival order is not.
+    # url wins.  Exactly ONE occurrence is ever marked non-duplicate:
+    # the first canonical occurrence of the key's first batch — a url
+    # repeated within that batch is a duplicate of itself (ADVICE r2
+    # #2: both copies used to be marked keep).
     if canonical is None:
-        canonical = min(urls)
+        canonical = urls[0]
+    kept = seen > 0
+    is_dup: list[bool] = []
+    for u in urls:
+        keep = (u == canonical) and not kept
+        is_dup.append(not keep)
+        kept = kept or keep
     out = pd.DataFrame(
         {
             "url": urls,
             "key": key[0],
-            "is_duplicate": [u != canonical or seen > 0 for u in urls],
+            "is_duplicate": is_dup,
             "canonical_url": canonical,
             "dup_rank": [seen + i for i in range(len(urls))],
         }
@@ -212,9 +224,13 @@ def stateful_near_dup_candidates(
     an overflow counter, mirroring the batch cap-and-audit policy); an
     arriving doc emits a pair against every remembered member and joins
     the bucket.  Downstream dedups pairs across bands and runs the
-    exact verify — same contract as the batch chain, so candidates are
-    emitted exactly once per (pair, band) with no recomputation over
-    history.
+    exact verify — same contract as the batch chain.  REMEMBERED
+    members pair exactly once per (pair, band) with no recomputation
+    over history; a doc that arrived while the bucket was over cap is
+    NOT remembered, so if it re-arrives in a later batch it re-emits
+    its pairs (and re-increments the overflow counter) — downstream
+    pair dedup absorbs the repeats, and the overflow counter is a
+    activity tally, not a distinct-doc count (ADVICE r2 #3).
 
     Scale shape: state is hash-partitioned by (band_idx, band_hash)
     like any shuffle — each executor's state store holds only its

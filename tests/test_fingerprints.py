@@ -92,6 +92,12 @@ def test_simhash_no_overflow_on_huge_docs():
     segs = np.concatenate([np.zeros(500, np.int64), np.ones(40_000, np.int64)])
     got = _segment_simhash(vals, segs, 2)
     assert got[0] == naive(small) and got[1] == naive(huge)
+    # exact dtype boundary (VERDICT r2 next-round #9): 2^15 - 1 shingles
+    # is the largest int16-path segment, 2^15 the smallest int32-path —
+    # both must agree with the naive majority
+    for n in ((1 << 15) - 1, 1 << 15):
+        v = rng.integers(0, 2**63, n, dtype=np.uint64)
+        assert _segment_simhash(v, np.zeros(n, np.int64), 1)[0] == naive(v)
 
 
 def test_fingerprint_batch_boundary_independence(spark, cfg):

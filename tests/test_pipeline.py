@@ -161,3 +161,17 @@ def test_pipeline_input_order_invariance(spark, small_pages, cfg):
     sig_a = _df_fingerprint(out_a["clusters"], ["url", "cluster_id"])
     sig_b = _df_fingerprint(out_b["clusters"], ["url", "cluster_id"])
     assert (sig_a["s"], sig_a["n"]) == (sig_b["s"], sig_b["n"])
+
+
+def test_pair_metrics_degenerate_zero_pairs_defined(spark):
+    """0 predicted / 0 truth pairs must yield 0.0 ratios, not NULL
+    (ADVICE r2 #5)."""
+    from deduplicator_spark.operators.evaluate import pair_metrics
+
+    # all-singleton prediction AND truth: every denominator is 0
+    pred = spark.createDataFrame([("a", "c1"), ("b", "c2")], "url string, cluster_id string")
+    truth = spark.createDataFrame(
+        [("a", "t1"), ("b", "t2")], "url string, truth_cluster_id string"
+    )
+    row = pair_metrics(pred, truth).collect()[0]
+    assert (row["precision"], row["recall"], row["f1"]) == (0.0, 0.0, 0.0)

@@ -192,3 +192,18 @@ def test_streaming_candidates_cap_bounds_state(spark, tmp_path):
     # first 3 form C(3,2)=3 pairs; each of the 7 overflow docs pairs
     # against the 3 remembered members only
     assert n == 3 + 7 * 3
+
+
+def test_stateful_dedup_repeated_url_single_keep(spark, tmp_path):
+    """A url repeated WITHIN the key's first batch is a duplicate of
+    itself: exactly one keep, deterministic ranks over sorted urls
+    (ADVICE r2 #2 — both copies used to be marked keep)."""
+    rows = [("u1", "h1"), ("u1", "h1"), ("u2", "h1")]
+    src = str(tmp_path / "src_rep")
+    _mk_batch(spark, rows).repartition(2).write.parquet(src)
+    out = _run_once(spark, src, str(tmp_path / "ckpt_rep"), str(tmp_path / "out_rep"))
+    rs = sorted(
+        ((r["url"], r["is_duplicate"], r["dup_rank"]) for r in out.collect()),
+        key=lambda t: t[2],
+    )
+    assert rs == [("u1", False, 0), ("u1", True, 1), ("u2", True, 2)]

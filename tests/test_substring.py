@@ -98,3 +98,37 @@ def test_substring_operator_no_degenerate_pairs(spark, small_pages, cfg):
     deg = {r["url"] for r in small_pages.filter("dup_kind = 'degenerate'").collect()}
     for r in pairs.collect():
         assert r["url_a"] not in deg and r["url_b"] not in deg
+
+
+def test_lcs_fast_equals_suffix_array():
+    """lcs_len_fast (binary-search Rabin-Karp, byte-confirmed) must
+    equal the suffix-array LCS on random and adversarial inputs —
+    including full-identity, empty, and shared-prefix/suffix shapes."""
+    import numpy as np
+
+    from deduplicator_spark.operators.substring import (
+        lcs_len_fast,
+        longest_common_substring_len,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    alphabet = "ab cd"
+    cases = []
+    for n in (0, 1, 7, 63, 300):
+        for m in (0, 5, 200):
+            a = "".join(rng.choice(list(alphabet), n))
+            b = "".join(rng.choice(list(alphabet), m))
+            cases.append((a, b))
+    base = "the common segment that should match exactly " * 4
+    cases += [
+        (base, base),                       # identical
+        ("xx" + base, base + "yy"),         # shared middle
+        (base[:50], base[40:]),             # overlapping windows
+        ("abc", "xyz"),                     # nothing shared beyond chars
+    ]
+    for a, b in cases:
+        xa = np.frombuffer(a.encode(), dtype=np.uint8)
+        xb = np.frombuffer(b.encode(), dtype=np.uint8)
+        fast = lcs_len_fast(xa, xb)
+        assert fast is not None  # collisions are 2^-64 events
+        assert fast == longest_common_substring_len(a, b), (a[:40], b[:40])

@@ -264,3 +264,27 @@ def test_lm_pruned_bigram_falls_back_to_unigram(spark):
     assert out[1]["sum_logp_micro"] == round(math.log(0.4 * 1 / 6) * 1e6)
     # kept bigram: ln(c('common duo')/c('common')) = ln(2/2) = 0
     assert out[2]["sum_logp_micro"] == 0
+
+
+def test_tier_summary_char_weighted_savings(spark):
+    """char_counts adds redundant_chars: the char sum of non-canonical
+    docs per tier (ADVICE r2 #4 — the parameter used to be ignored)."""
+    from deduplicator_spark.operators.tiers import tier_summary
+
+    tiers = spark.createDataFrame(
+        [
+            ("exact", 1, "a", "a"),
+            ("exact", 1, "b", "a"),   # redundant, 100 chars
+            ("exact", 1, "c", "a"),   # redundant, 7 chars
+            ("near", 2, "a", "a"),
+        ],
+        "tier string, group_id long, url string, canonical_url string",
+    )
+    chars = spark.createDataFrame(
+        [("a", 50), ("b", 100), ("c", 7)], "url string, n_chars long"
+    )
+    got = {r["tier"]: r for r in tier_summary(tiers, chars).collect()}
+    assert got["exact"]["redundant_chars"] == 107
+    assert got["near"]["redundant_chars"] == 0  # no redundant docs -> 0, not NULL
+    # without char_counts the column is absent (schema unchanged)
+    assert "redundant_chars" not in tier_summary(tiers).columns

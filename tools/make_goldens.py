@@ -393,6 +393,50 @@ def make_cdc_chunks(
     return out
 
 
+def make_media_decoded(n_px: int = 4) -> str:
+    """(doc_id, bin, val) — real-decoder golden over sf0.01 documents.
+
+    Each doc becomes a deterministic n_px x n_px RGB PPM whose raster
+    is the doc's md5 digest tiled 3x (48 bytes).  Features here are
+    computed by an INDEPENDENT per-pixel python loop (Rec.601
+    luminance -> 16-bin histogram -> L2 norm), unrelated to the
+    engine's vectorized pixel_features/mapInPandas path — the oracle
+    for the `media_decoded_features` driver query."""
+    import duckdb
+    from hashlib import md5 as _md5
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF001}/documents.parquet') "
+        "ORDER BY doc_id"
+    ).fetchall()
+    rows = []
+    for doc_id, text in docs:
+        raster = _md5(text.encode("utf-8")).digest() * 3  # 48 bytes = 4x4x3
+        counts = [0] * 16
+        for p in range(n_px * n_px):
+            r, g, b = raster[3 * p], raster[3 * p + 1], raster[3 * p + 2]
+            lum = 0.299 * r + 0.587 * g + 0.114 * b
+            counts[min(int(lum) // 16, 15)] += 1
+        norm = sum(c * c for c in counts) ** 0.5
+        feats = [c / norm for c in counts]
+        # float32 round-trip first (the engine emits float32 features),
+        # THEN round — matches round(CAST(val AS DOUBLE), 6) on both sides
+        for i, v in enumerate(feats):
+            rows.append((int(doc_id), i, round(float(np.float32(v)), 6)))
+    out = os.path.join(GOLDEN, "media_decoded_sf001.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "bin": pa.array([r[1] for r in rows], pa.int32()),
+                "val": pa.array([r[2] for r in rows], pa.float64()),
+            }
+        ),
+        out,
+    )
+    return out
+
+
 def main() -> None:
     os.makedirs(GOLDEN, exist_ok=True)
     p = make_pages()
@@ -405,6 +449,7 @@ def main() -> None:
     print("substring:", sub, n, "pairs")
     print("span_dedup:", make_span_dedup(p))
     print("cdc_chunks:", make_cdc_chunks())
+    print("media_decoded:", make_media_decoded())
 
 
 if __name__ == "__main__":
