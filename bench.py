@@ -46,11 +46,19 @@ def _sf_of(sf_dir: str) -> float:
         return 0.1
 
 
+CORPUS_FILES = 96  # fixed file count -> scan splits provide parallelism
+
+
 def ensure_corpus(spark, n: int) -> str:
-    """Deterministic synthetic pages parquet (generated once, reused)."""
-    path = os.path.join(os.environ.get("BENCH_TMP", "/tmp"), f"bench_pages_n{n}_s{CFG.seed}")
+    """Deterministic synthetic pages parquet (generated once, reused).
+    Written as many small files so the scan parallelizes at any core
+    count without a text repartition (a real ingest reads many files)."""
+    path = os.path.join(
+        os.environ.get("BENCH_TMP", "/tmp"),
+        f"bench_pages_n{n}_s{CFG.seed}_p{CORPUS_FILES}",
+    )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        synth_pages(spark, n).write.mode("overwrite").parquet(path)
+        synth_pages(spark, n, partitions=CORPUS_FILES).write.mode("overwrite").parquet(path)
     return path
 
 
@@ -61,7 +69,16 @@ def main() -> None:
     n_docs = int(os.environ.get("BENCH_N_DOCS", str(max(2000, int(500_000 * sf)))))
 
     spark = build_session(
-        app_name="dedup-bench", master=f"local[{cpus}]", shuffle_partitions=cpus
+        app_name="dedup-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+        extra_conf={
+            # finer scan splits so the many-file corpus yields several
+            # task waves per stage (straggler amortization — see
+            # bench_scaling.py for the measured rationale)
+            "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
+            "spark.sql.files.openCostInBytes": str(1024 * 1024),
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     corpus = ensure_corpus(spark, n_docs)
@@ -95,9 +112,9 @@ def main() -> None:
     def q1():
         from deduplicator_spark.plans.chain import decode_clusters, encode_fp, encode_ids
 
-        # explicit repartition: scan splits follow the writer's file
-        # layout, not the session's core count (see bench_scaling.py)
-        pages = spark.read.parquet(corpus).repartition(cpus * 3)
+        # no repartition: the corpus is CORPUS_FILES small files, so
+        # scan splits already exceed the core count (see bench_scaling.py)
+        pages = spark.read.parquet(corpus)
         fp = pages.select("url", fp_udf(F.col("text")).alias("f")).select("url", "f.*")
         fp = fp.localCheckpoint()  # fingerprint once; measured inside q1
         dict_ids, hash_ok = encode_ids(fp)
@@ -127,7 +144,7 @@ def main() -> None:
         from deduplicator_spark.plans.chain import decode_clusters, encode_fp, encode_ids
 
         fp_udf_lean = make_fingerprint_udf(CFG, include_shingles=False)
-        pages = spark.read.parquet(corpus).repartition(cpus * 3)
+        pages = spark.read.parquet(corpus)
         fp = pages.select("url", "text", fp_udf_lean(F.col("text")).alias("f")).select(
             "url", "text", "f.*"
         )
@@ -180,7 +197,7 @@ def main() -> None:
     def q6():
         from deduplicator_spark.operators.segments import duplicate_segment_stats
 
-        pages = spark.read.parquet(corpus).repartition(cpus * 3)
+        pages = spark.read.parquet(corpus)
         return duplicate_segment_stats(pages, key="url", w=10, min_docs=2).count()
 
     timed("q6_segment_dedup", q6, runs=2)
@@ -189,7 +206,7 @@ def main() -> None:
     def q7():
         from deduplicator_spark.operators.cdc import cdc_chunk_table, cdc_dedup_stats
 
-        pages = spark.read.parquet(corpus).repartition(cpus * 3)
+        pages = spark.read.parquet(corpus)
         chunks = cdc_chunk_table(pages, url_col="url")
         return cdc_dedup_stats(chunks, url_col="url").count()
 

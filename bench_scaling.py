@@ -60,10 +60,18 @@ N_HIGH = int(os.environ.get("SCALE_N_HIGH", "8"))
 RUNS = int(os.environ.get("SCALE_RUNS", "3"))
 
 
+# fixed file count, independent of which session generates the corpus:
+# scan splits then provide full parallelism at EVERY level without a
+# repartition — the first corpus writer used to be the local[2] session,
+# leaving 2 fat files that forced the measured jobs to shuffle all 357MB
+# of text before fingerprinting (a cost no real many-file ingest pays)
+CORPUS_FILES = 96
+
+
 def corpus_path() -> str:
     return os.path.join(
         os.environ.get("BENCH_TMP", "/tmp"),
-        f"bench_pages_n{N_DOCS}_s{CFG.seed}_t{TOK_SCALE}",
+        f"bench_pages_n{N_DOCS}_s{CFG.seed}_t{TOK_SCALE}_p{CORPUS_FILES}",
     )
 
 
@@ -75,12 +83,10 @@ def dedup_job(spark, corpus: str) -> int:
     # verify_pairs_recompute instead (same output, far less Arrow
     # serialization) — both paths produce identical clusters (tested).
     fp_udf = make_fingerprint_udf(CFG)
-    # the corpus parquet may have been written at a different
-    # parallelism; Spark packs small files into few fat splits, which
-    # would cap the UDF stage at the file layout instead of the core
-    # count — repartition explicitly so the measurement scales with N
-    par = spark.sparkContext.defaultParallelism
-    pages = spark.read.parquet(corpus).repartition(par * 3)
+    # no repartition: the corpus is written as CORPUS_FILES small files,
+    # so scan splits already exceed every measured core count — the scan
+    # feeds the UDF pipeline directly, like a real many-file ingest
+    pages = spark.read.parquet(corpus)
     fp = (
         pages.select("url", fp_udf(F.col("text")).alias("f"))
         .select("url", "f.*")
@@ -103,8 +109,7 @@ def fp_stage_job(spark, corpus: str) -> int:
     dominates the cost — the N-vs-4N criterion lives or dies here, so
     it is measured separately (VERDICT r1 next-step #10)."""
     fp_udf = make_fingerprint_udf(CFG, include_shingles=False)
-    par = spark.sparkContext.defaultParallelism
-    pages = spark.read.parquet(corpus).repartition(par * 3)
+    pages = spark.read.parquet(corpus)
     return (
         pages.select(fp_udf(F.col("text")).alias("f"))
         .agg(F.sum("f.n_shingles"))
@@ -115,7 +120,17 @@ def fp_stage_job(spark, corpus: str) -> int:
 def one_run(cpus: int, corpus: str, gen_if_missing: bool = False) -> tuple[float, float, int]:
     """Fresh session, one warm-up, one timed e2e run + one timed
     fingerprint-stage run."""
-    extra = {"spark.ui.showConsoleProgress": "false"}
+    extra = {
+        "spark.ui.showConsoleProgress": "false",
+        # finer scan splits than the 128MB default: the 96-file corpus
+        # otherwise packs into ~6-8 splits, i.e. a SINGLE task wave at
+        # local[8] where one straggler extends the whole stage.  16MB
+        # splits give ~4 waves at the high level so stragglers amortize
+        # — the granularity a real cluster gets for free from many
+        # input files per executor.
+        "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
+        "spark.sql.files.openCostInBytes": str(1024 * 1024),
+    }
     if os.path.isdir("/dev/shm"):
         os.makedirs("/dev/shm/spark-local", exist_ok=True)
         extra["spark.local.dir"] = "/dev/shm/spark-local"  # keep shuffle off slow VM disk
@@ -127,7 +142,9 @@ def one_run(cpus: int, corpus: str, gen_if_missing: bool = False) -> tuple[float
     )
     spark.sparkContext.setLogLevel("ERROR")
     if gen_if_missing and not os.path.exists(os.path.join(corpus, "_SUCCESS")):
-        synth_pages(spark, N_DOCS, tok_scale=TOK_SCALE).write.mode("overwrite").parquet(corpus)
+        synth_pages(
+            spark, N_DOCS, partitions=CORPUS_FILES, tok_scale=TOK_SCALE
+        ).write.mode("overwrite").parquet(corpus)
     dedup_job(spark, corpus)  # warm-up (JVM, Arrow workers, code paths)
     t0 = time.monotonic()
     rows = dedup_job(spark, corpus)

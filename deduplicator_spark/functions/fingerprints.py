@@ -97,35 +97,57 @@ def _batch_shingle_hashes(texts: pd.Series, k: int) -> tuple[np.ndarray, np.ndar
     return combined[valid], doc_of[valid], n_tokens
 
 
-def _segment_min(vals: np.ndarray, seg_ids: np.ndarray, n_segs: int, a: np.ndarray, b: np.ndarray, chunk: int = 8) -> np.ndarray:
+def _doc_tiles(first_idx: np.ndarray, total: int, tile: int) -> list[tuple[int, int, int, int]]:
+    """Split [0, total) shingles into doc-aligned tiles of <= ``tile``
+    shingles (a single segment larger than ``tile`` forms its own
+    tile).  Returns (val_lo, val_hi, seg_lo, seg_hi) per tile, where
+    seg_* index into ``first_idx``."""
+    n_present = len(first_idx)
+    ends = np.append(first_idx[1:], total)
+    tiles: list[tuple[int, int, int, int]] = []
+    s = 0
+    while s < n_present:
+        e = s + 1
+        while e < n_present and ends[e] - first_idx[s] <= tile:
+            e += 1
+        tiles.append((int(first_idx[s]), int(ends[e - 1]), s, e))
+        s = e
+    return tiles
+
+
+def _segment_min(vals: np.ndarray, seg_ids: np.ndarray, n_segs: int, a: np.ndarray, b: np.ndarray, chunk: int = 8, tile: int = 32768) -> np.ndarray:
     """MinHash signatures: per-segment minimum of (a*h+b) for each perm.
 
     vals: uint64[S] shingle hashes, seg_ids: sorted int64[S] doc index.
     Returns uint64[n_segs, num_perm] with MAX for empty segments.
 
-    Layout matters more than FLOPs here.  The intermediate is built
-    TRANSPOSED — (chunk, S) C-contiguous — so ``minimum.reduceat``
-    walks each permutation's row sequentially instead of striding
-    across a (S, chunk) matrix column-by-column.  Same arithmetic,
-    same output, very different cache behavior: 2.3x faster
-    single-threaded and ~7x faster aggregate with 8 parallel workers
-    on this box (the strided form thrashes the shared LLC exactly when
-    Spark runs 32 Python workers side by side).
+    Layout matters more than FLOPs here — two measured properties:
 
-    chunk=8 keeps the per-chunk intermediate ~8 x S x 8B (a few tens
-    of MB per Arrow batch) so many concurrent workers stay inside
-    memory-bandwidth budget (measured in round 1: chunk=32 stopped
-    scaling at 16 cores).
+    - The intermediate is built TRANSPOSED — (chunk, S_tile)
+      C-contiguous — so ``minimum.reduceat`` walks each permutation's
+      row sequentially (2.3x single-threaded vs the strided form).
+    - The shingle axis is processed in DOC-ALIGNED TILES small enough
+      that one tile's intermediate (chunk x tile x 8B ~ 2 MB) stays
+      cache-resident across all num_perm/chunk passes.  Untiled, every
+      pass streamed the full-batch (chunk x S) matrix through DRAM —
+      ~1.2 GB of traffic per 2048-doc web batch — which saturated the
+      shared memory bus and capped multi-worker scaling at ~0.4
+      efficiency on this box (round-3 scaling measurement).  Same
+      arithmetic, same output (tiles split only at segment starts).
     """
     num_perm = len(a)
     out = np.full((num_perm, n_segs), np.iinfo(np.uint64).max, dtype=_U64)
     if len(vals) == 0:
         return out.T
     present, first_idx = np.unique(seg_ids, return_index=True)
-    for c0 in range(0, num_perm, chunk):
-        ac, bc = a[c0 : c0 + chunk], b[c0 : c0 + chunk]
-        P = ac[:, None] * vals[None, :] + bc[:, None]  # (chunk, S), uint64 wrap
-        out[c0 : c0 + chunk][:, present] = np.minimum.reduceat(P, first_idx, axis=1)
+    for lo, hi, s0, s1 in _doc_tiles(first_idx, len(vals), tile):
+        v = vals[lo:hi]
+        fi = first_idx[s0:s1] - lo
+        cols = present[s0:s1]
+        for c0 in range(0, num_perm, chunk):
+            ac, bc = a[c0 : c0 + chunk], b[c0 : c0 + chunk]
+            P = ac[:, None] * v[None, :] + bc[:, None]  # (chunk, tile), uint64 wrap
+            out[c0 : c0 + chunk][:, cols] = np.minimum.reduceat(P, fi, axis=1)
     return np.ascontiguousarray(out.T)
 
 
@@ -146,11 +168,16 @@ def _segment_simhash(vals: np.ndarray, seg_ids: np.ndarray, n_segs: int) -> np.n
     present, first_idx = np.unique(seg_ids, return_index=True)
     seg_counts = np.diff(np.append(first_idx, len(vals)))
     acc = np.int16 if int(seg_counts.max()) < (1 << 15) else np.int32
-    # transposed (64, S) bit matrix so add.reduceat runs along
-    # contiguous rows — same 2x/cache rationale as _segment_min
-    bits = np.unpackbits(vals[:, None].view(np.uint8), axis=1)  # (S, 64) uint8
-    bits_t = np.ascontiguousarray(bits.T).astype(acc)  # (64, S)
-    sums = np.add.reduceat(bits_t, first_idx, axis=1)  # (64, P) counts of set bits
+    n_present = len(present)
+    sums = np.empty((64, n_present), dtype=np.int64)
+    # doc-aligned tiles (same rationale as _segment_min): the (64, S)
+    # bit matrix of a full web batch is ~80 MB of DRAM traffic; per
+    # tile it stays cache-resident.  Transposed so add.reduceat runs
+    # along contiguous rows.
+    for lo, hi, s0, s1 in _doc_tiles(first_idx, len(vals), 32768):
+        bits = np.unpackbits(vals[lo:hi, None].view(np.uint8), axis=1)  # (tile, 64)
+        bits_t = np.ascontiguousarray(bits.T).astype(acc)  # (64, tile)
+        sums[:, s0:s1] = np.add.reduceat(bits_t, first_idx[s0:s1] - lo, axis=1)
     # majority as s > c - s (no doubling: 2*s would overflow int16)
     maj = (sums > (seg_counts[None, :] - sums)).astype(np.uint8)  # (64, P)
     packed = np.packbits(np.ascontiguousarray(maj.T), axis=1)  # (P, 8)

@@ -153,15 +153,29 @@ def span_dedup(
 
     # coverage groups keyed by the LOSING side (url_b): partner (a)
     # texts ship once per pair, the b text once per occupied salt
-    # subgroup (same anti-mega-star shape as substring verify)
+    # subgroup.  Salting is ADAPTIVE like the substring verify: only
+    # url_b docs with more than ``salt_threshold`` partners split into
+    # ``n_salt`` subgroups — static salting multiplied the
+    # applyInPandas group count (and the per-group overhead that
+    # dominates at typical degrees) ~4x for nothing.
     n_salt = 16
+    salt_threshold = 64
     texts = pages.select("url", F.col(text_col).alias("t"))
-    salt = F.pmod(F.xxhash64("url_a"), F.lit(n_salt)).cast("int").alias("salt")
-    partners = cand.join(
+    deg = cand.groupBy("url_b").agg(F.count("*").alias("deg"))
+    salt = (
+        F.when(
+            F.col("deg") > salt_threshold, F.pmod(F.xxhash64("url_a"), F.lit(n_salt))
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("salt")
+    )
+    cand_deg = cand.join(deg, "url_b")
+    partners = cand_deg.join(
         texts.withColumnsRenamed({"url": "url_a"}), "url_a"
     ).select("url_b", "url_a", "t", F.lit(False).alias("is_self"), salt)
     selfs = (
-        cand.select("url_b", salt)
+        cand_deg.select("url_b", salt)
         .distinct()
         .join(texts.withColumnsRenamed({"url": "url_b"}), "url_b")
         .select("url_b", F.col("url_b").alias("url_a"), "t", F.lit(True).alias("is_self"), "salt")
