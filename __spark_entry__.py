@@ -97,6 +97,42 @@ def q_exact_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup (down-weighting instead of deletion): per-doc
+    multiplicity, sample weight 1/multiplicity, and the deterministic
+    md5-bucket keep decision realizing that weight.  Same planted-dup
+    scheme as exact_dup_clusters plus a second/third plant so
+    multiplicities 1, 2 and 4 all occur."""
+    from deduplicator_spark.operators.softdedup import soft_dedup_weights
+
+    base = _docs(spark, sf_dir).select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    plants = [
+        base.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+        ),
+        base.filter(F.col("doc_id") % 50 == 0).select(
+            (F.col("doc_id") + 20_000_000).alias("doc_id"), "text"
+        ),
+        base.filter(F.col("doc_id") % 50 == 0).select(
+            (F.col("doc_id") + 30_000_000).alias("doc_id"), "text"
+        ),
+    ]
+    docs = base
+    for p in plants:
+        docs = docs.unionByName(p)
+    return soft_dedup_weights(docs, key="doc_id")
+
+
+def q_soft_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Roll-up of q_soft_dedup_weights: one row per multiplicity with
+    doc counts, expected kept mass (sum of weights) and the realized
+    deterministic keep count — the audit that down-weighting and its
+    concrete realization agree."""
+    from deduplicator_spark.operators.softdedup import soft_dedup_summary
+
+    return soft_dedup_summary(q_soft_dedup_weights(spark, sf_dir))
+
+
 def q_prefix_fp_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select(
         "doc_id", F.md5(F.substring("text", 1, 60)).alias("prefix_fp")
@@ -1153,6 +1189,8 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dup_clusters": q_exact_dup_clusters,
+        "soft_dedup_weights": q_soft_dedup_weights,
+        "soft_dedup_summary": q_soft_dedup_summary,
         "prefix_fp_clusters": q_prefix_fp_clusters,
         "prefix_canonical": q_prefix_canonical,
         "cluster_size_histogram": q_cluster_size_histogram,
@@ -1906,6 +1944,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_segments, n_removed,
                    length(clean) AS clean_len, md5(clean) AS clean_md5
             FROM rebuilt
+        """,
+        "soft_dedup_weights": """
+            WITH docs AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+              UNION ALL
+              SELECT CAST(doc_id AS BIGINT) + 10000000, text
+              FROM documents WHERE doc_id % 10 = 0
+              UNION ALL
+              SELECT CAST(doc_id AS BIGINT) + 20000000, text
+              FROM documents WHERE doc_id % 50 = 0
+              UNION ALL
+              SELECT CAST(doc_id AS BIGINT) + 30000000, text
+              FROM documents WHERE doc_id % 50 = 0
+            ),
+            m AS (
+              SELECT doc_id,
+                     count(*) OVER (PARTITION BY md5(text)) AS multiplicity
+              FROM docs)
+            SELECT doc_id, multiplicity,
+                   round(1.0 / multiplicity, 6) AS sample_weight,
+                   CASE WHEN (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                              % 10000) * multiplicity < 10000
+                        THEN 1 ELSE 0 END AS kept
+            FROM m
+        """,
+        "soft_dedup_summary": """
+            WITH docs AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+              UNION ALL
+              SELECT CAST(doc_id AS BIGINT) + 10000000, text
+              FROM documents WHERE doc_id % 10 = 0
+              UNION ALL
+              SELECT CAST(doc_id AS BIGINT) + 20000000, text
+              FROM documents WHERE doc_id % 50 = 0
+              UNION ALL
+              SELECT CAST(doc_id AS BIGINT) + 30000000, text
+              FROM documents WHERE doc_id % 50 = 0
+            ),
+            m AS (
+              SELECT doc_id,
+                     count(*) OVER (PARTITION BY md5(text)) AS multiplicity
+              FROM docs),
+            w AS (
+              SELECT doc_id, multiplicity,
+                     round(1.0 / multiplicity, 6) AS sample_weight,
+                     CASE WHEN (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                                % 10000) * multiplicity < 10000
+                          THEN 1 ELSE 0 END AS kept
+              FROM m)
+            SELECT multiplicity, count(*) AS n_docs,
+                   round(sum(sample_weight), 3) AS expected_kept,
+                   CAST(sum(kept) AS BIGINT) AS actual_kept
+            FROM w GROUP BY multiplicity
         """,
         "stratified_sample": """
             SELECT doc_id, lang FROM documents

@@ -61,6 +61,7 @@ from deduplicator_spark.operators.exact import normalized_exact_clusters
 from deduplicator_spark.operators.tiers import dedup_tiers, tier_summary
 from deduplicator_spark.operators.cdc import cdc_chunk_table, cdc_dedup_stats, chunk_doc
 from deduplicator_spark.operators.evaluate import pair_metrics
+from deduplicator_spark.operators.softdedup import soft_dedup_summary, soft_dedup_weights
 
 __all__ = [
     "bucket_pairs",
@@ -122,4 +123,6 @@ __all__ = [
     "cdc_dedup_stats",
     "chunk_doc",
     "pair_metrics",
+    "soft_dedup_summary",
+    "soft_dedup_weights",
 ]
