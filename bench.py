@@ -71,7 +71,7 @@ def main() -> None:
     spark = build_session(
         app_name="dedup-bench",
         master=f"local[{cpus}]",
-        shuffle_partitions=cpus,
+        shuffle_partitions=4 * cpus,  # see session.py: 1x-cores spills on wide rows
         extra_conf={
             # finer scan splits so the many-file corpus yields several
             # task waves per stage (straggler amortization — see

@@ -137,7 +137,7 @@ def one_run(cpus: int, corpus: str, gen_if_missing: bool = False) -> tuple[float
     spark = build_session(
         app_name=f"dedup-scale-{cpus}",
         master=f"local[{cpus}]",
-        shuffle_partitions=cpus,
+        shuffle_partitions=4 * cpus,  # see session.py: 1x-cores spills on wide rows
         extra_conf=extra,
     )
     spark.sparkContext.setLogLevel("ERROR")

@@ -75,10 +75,28 @@ def candidate_pairs(
     return bucket_pairs(banded, ["band_idx", "band_hash"], cfg.max_band_bucket)
 
 
+def _candidate_urls(pairs: DataFrame) -> DataFrame:
+    """Distinct urls appearing in at least one candidate pair — ids
+    only, so AQE broadcasts it as the semi-join probe that prunes the
+    wide fingerprint columns BEFORE they reach a shuffle."""
+    return (
+        pairs.select(F.col("url_a").alias("url"))
+        .unionByName(pairs.select(F.col("url_b").alias("url")))
+        .distinct()
+    )
+
+
 def estimate_jaccard(pairs: DataFrame, fp: DataFrame, cfg: DedupConfig) -> DataFrame:
     """Attach the signature-agreement Jaccard estimate (JVM-side:
-    zip_with + aggregate over the two int arrays; no Python)."""
-    sig = fp.select("url", "minhash")
+    zip_with + aggregate over the two int arrays; no Python).
+
+    The signature side is semi-joined to the candidate-url set first:
+    candidates are a small fraction of the corpus (~1% on realistic
+    web crawls), and without the prune every doc's fixed-width
+    signature crosses the join exchange instead of only the
+    candidates' (the semi-join probe is 8-byte ids, broadcast by AQE,
+    so the prune itself is map-side)."""
+    sig = fp.select("url", "minhash").join(_candidate_urls(pairs), "url", "left_semi")
     p = (
         pairs.join(sig.withColumnsRenamed({"url": "url_a", "minhash": "sig_a"}), "url_a")
         .join(sig.withColumnsRenamed({"url": "url_b", "minhash": "sig_b"}), "url_b")
@@ -114,11 +132,18 @@ def verify_pairs(pairs: DataFrame, fp: DataFrame, cfg: DedupConfig) -> DataFrame
     """Exact shingle-set Jaccard on candidates; keep >= cfg.verify_jaccard.
 
     array_intersect/array_union run JVM-side on the stored distinct
-    shingle-hash arrays.  At cluster scale, only candidate urls' shingle
-    arrays are shuffled (column pruning keeps the scan narrow).
+    shingle-hash arrays.  The shingle side is semi-joined to the
+    candidate-url set first (ids only, AQE-broadcast probe) so ONLY
+    candidate docs' KB-scale shingle arrays ever cross the join
+    exchanges — at a ~1%-dup web corpus that is ~100x less array mass
+    through the heaviest shuffle of the chain.
     Output: (url_a, url_b, jaccard).
     """
-    sh = fp.filter(F.col("n_shingles") > 0).select("url", "shingles")
+    sh = (
+        fp.filter(F.col("n_shingles") > 0)
+        .select("url", "shingles")
+        .join(_candidate_urls(pairs), "url", "left_semi")
+    )
     p = (
         pairs.join(sh.withColumnsRenamed({"url": "url_a", "shingles": "sh_a"}), "url_a")
         .join(sh.withColumnsRenamed({"url": "url_b", "shingles": "sh_b"}), "url_b")
@@ -145,11 +170,7 @@ def verify_pairs_recompute(
     """
     from deduplicator_spark.functions.fingerprints import make_shingles_udf
 
-    cand = (
-        pairs.select(F.col("url_a").alias("url"))
-        .unionByName(pairs.select(F.col("url_b").alias("url")))
-        .distinct()
-    )
+    cand = _candidate_urls(pairs)
     sh_udf = make_shingles_udf(cfg)
     sh = (
         docs_text.join(cand, "url", "left_semi")

@@ -26,7 +26,15 @@ def build_session(
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
-    shuffle_partitions = shuffle_partitions or int(cpus)
+    # Default shuffle partitions to 4x the worker count, NOT 1x: with
+    # partitions == cores each task sorts/joins a cores-th of the data
+    # in one pass, and wide rows (shingle/signature arrays) blow the
+    # per-task execution-memory share and spill — measured 2x slower on
+    # the verify join at BOTH 2 and 8 cores (tools/verify_probe.py:
+    # 17.5s -> 8.6s at 2 cores, 14.6s -> 6.6s at 8).  4x matches the
+    # 2-4x-cores guidance for real clusters; AQE coalesces the
+    # partitions that end up small.
+    shuffle_partitions = shuffle_partitions or 4 * int(cpus)
 
     builder = (
         SparkSession.builder.appName(app_name)

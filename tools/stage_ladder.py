@@ -106,7 +106,7 @@ def run_level(cpus: int) -> dict:
     spark = build_session(
         app_name=f"ladder-{cpus}",
         master=f"local[{cpus}]",
-        shuffle_partitions=cpus,
+        shuffle_partitions=4 * cpus,  # see session.py: 1x-cores spills on wide rows
         extra_conf=extra,
     )
     spark.sparkContext.setLogLevel("ERROR")
