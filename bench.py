@@ -118,7 +118,6 @@ def main() -> None:
         fp = pages.select("url", fp_udf(F.col("text")).alias("f")).select("url", "f.*")
         fp = fp.localCheckpoint()  # fingerprint once; measured inside q1
         dict_ids, hash_ok = encode_ids(fp)
-        dict_ids = dict_ids.localCheckpoint()
         fp_n = encode_fp(fp, dict_ids, hash_ok)
         banded = band_explode(fp_n, CFG)
         pairs, _ = candidate_pairs(banded, CFG)
@@ -150,7 +149,6 @@ def main() -> None:
         )
         fp = fp.localCheckpoint()
         dict_ids, hash_ok = encode_ids(fp)
-        dict_ids = dict_ids.localCheckpoint()
         fp_n = encode_fp(fp, dict_ids, hash_ok)
         banded = band_explode(fp_n, CFG)
         pairs, _ = candidate_pairs(banded, CFG)

@@ -93,7 +93,6 @@ def dedup_job(spark, corpus: str) -> int:
         .localCheckpoint()
     )
     dict_ids, hash_ok = encode_ids(fp)
-    dict_ids = dict_ids.localCheckpoint()
     fp_n = encode_fp(fp, dict_ids, hash_ok)
     banded = band_explode(fp_n, CFG)
     pairs, _ = candidate_pairs(banded, CFG)
@@ -216,8 +215,35 @@ def _write_results(result: dict, low: dict, high: dict, eff: float, calib: dict)
     open(md_path, "w").write(new)
 
 
+# a scaling measurement is only meaningful while the BOX ITSELF scales:
+# this shared VM's raw-CPU 2->8 efficiency swings 0.66-0.99 with
+# neighbor load, and any Spark reading taken in a degraded window
+# underestimates the job (observed: same code measured e2e 0.538 in a
+# 0.658-calibration window and 0.625+ in 0.88+ windows).  Gate the run
+# on a quiet window and stamp it with begin/end calibrations so a
+# mid-run degradation is visible in the artifact.
+MIN_CALIB = float(os.environ.get("SCALE_MIN_CALIB", "0.85"))
+CALIB_TRIES = int(os.environ.get("SCALE_CALIB_TRIES", "10"))
+
+
+def wait_for_quiet_window() -> dict:
+    calib = cpu_calibration()
+    for _ in range(CALIB_TRIES - 1):
+        if calib["raw_efficiency"] >= MIN_CALIB:
+            break
+        print(
+            f"# box raw-CPU efficiency {calib['raw_efficiency']} < {MIN_CALIB}, "
+            "waiting for a quiet window",
+            file=sys.stderr,
+        )
+        time.sleep(90)
+        calib = cpu_calibration()
+    return calib
+
+
 def main() -> None:
     corpus = corpus_path()
+    calib_begin = wait_for_quiet_window()
     # interleave levels (ABAB...) so host-load drift hits both equally
     times: dict[int, list[float]] = {N_LOW: [], N_HIGH: []}
     fp_times: dict[int, list[float]] = {N_LOW: [], N_HIGH: []}
@@ -230,6 +256,7 @@ def main() -> None:
             times[cpus].append(dt)
             fp_times[cpus].append(fp_dt)
     calib = cpu_calibration()
+    calib["raw_efficiency_begin"] = calib_begin["raw_efficiency"]
 
     def level(cpus: int) -> dict:
         return {

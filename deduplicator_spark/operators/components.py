@@ -46,18 +46,50 @@ def connected_components(
     cluster_id = min url (string) in the component.  Raises
     RuntimeError if ``max_iter`` rounds do not reach the fixpoint
     (never returns silently-wrong labels).
+
+    AQE is disabled for the duration of the loop (restored after):
+    adaptive execution materializes EVERY exchange as its own Spark
+    job, which turned each iteration's convergence count into 5-7
+    scheduler round-trips (measured 37 jobs for a 4-round CC at 300
+    docs — the dominant core-insensitive floor of the whole chain).
+    Inside the loop AQE has nothing to add: join keys are uniform
+    8-byte surrogate ids, skew was handled at candidate generation,
+    and the label/edge frames shrink monotonically.
     """
+    spark = edges.sparkSession
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return _cc_loop(edges, src, dst, max_iter)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+
+
+def _cc_loop(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_iter: int,
+) -> DataFrame:
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
-        .localCheckpoint()
+        # lazy: materialized (and cached) by iteration 1's convergence
+        # count — an eager checkpoint here would be one more job, and
+        # per-job overhead is the measured scaling floor of this chain
+        .localCheckpoint(eager=False)
     )
+    # seed labels with round 1's propagation for free: label0(v) =
+    # min(v, min neighbor) is exactly one hash-to-min round over
+    # identity labels, computed in the same aggregation that would
+    # otherwise just collect the vertex set — saves one full
+    # join+groupBy+count iteration on every graph
     labels = (
-        sym.select(F.col("u").alias("url"))
-        .distinct()
-        .withColumn("cluster_id", F.col("url"))
-        .localCheckpoint()
+        sym.groupBy(F.col("v").alias("url"))
+        .agg(F.min("u").alias("nbr_min"))
+        .select("url", F.least("url", "nbr_min").alias("cluster_id"))
+        .localCheckpoint(eager=False)
     )
 
     n_changed = 0

@@ -86,17 +86,36 @@ def _candidate_urls(pairs: DataFrame) -> DataFrame:
     )
 
 
+def _pin_pairs(pairs: DataFrame, pinned: bool) -> DataFrame:
+    """Materialize an id-only pair frame before it is referenced twice.
+
+    The semi-join prunes below reference ``pairs`` a second time (as
+    the probe side).  Catalyst does not share common subtrees across a
+    plan, so a LAZY pairs frame — typically the whole band-explode +
+    bucket-expansion chain — would be RE-EXECUTED once per reference
+    (measured: the full 200k-doc chain went 37.5s -> 44.2s median at 8
+    cores when the probe was added without this pin; tools/verify_ab.py).
+    Pairs are two 8-byte ids per row, so the checkpoint is tiny at any
+    scale — the distributed analog of "materialize candidates before
+    verification", which a real 100 TB run does with a durable
+    checkpoint anyway (plans/pipeline.py).
+    """
+    return pairs if pinned else pairs.localCheckpoint()
+
+
 def estimate_jaccard(pairs: DataFrame, fp: DataFrame, cfg: DedupConfig) -> DataFrame:
     """Attach the signature-agreement Jaccard estimate (JVM-side:
     zip_with + aggregate over the two int arrays; no Python).
 
-    The signature side is semi-joined to the candidate-url set first:
-    candidates are a small fraction of the corpus (~1% on realistic
-    web crawls), and without the prune every doc's fixed-width
-    signature crosses the join exchange instead of only the
-    candidates' (the semi-join probe is 8-byte ids, broadcast by AQE,
-    so the prune itself is map-side)."""
-    sig = fp.select("url", "minhash").join(_candidate_urls(pairs), "url", "left_semi")
+    Deliberately NO candidate-url semi-join prune here: the stored-
+    shingles verify is the dup-dense shape (you only store shingle
+    arrays when candidates are a large corpus fraction), and a prune
+    probe either re-executes the lazy pairs subtree (measured +18% on
+    the 200k-doc chain) or costs an extra materializing action — both
+    worse than shuffling the fixed 512-byte signatures.  The sparse-
+    corpus shape where pruning wins is verify_pairs_recompute, which
+    prunes inherently (tools/verify_ab.py holds the A/B)."""
+    sig = fp.select("url", "minhash")
     p = (
         pairs.join(sig.withColumnsRenamed({"url": "url_a", "minhash": "sig_a"}), "url_a")
         .join(sig.withColumnsRenamed({"url": "url_b", "minhash": "sig_b"}), "url_b")
@@ -132,18 +151,12 @@ def verify_pairs(pairs: DataFrame, fp: DataFrame, cfg: DedupConfig) -> DataFrame
     """Exact shingle-set Jaccard on candidates; keep >= cfg.verify_jaccard.
 
     array_intersect/array_union run JVM-side on the stored distinct
-    shingle-hash arrays.  The shingle side is semi-joined to the
-    candidate-url set first (ids only, AQE-broadcast probe) so ONLY
-    candidate docs' KB-scale shingle arrays ever cross the join
-    exchanges — at a ~1%-dup web corpus that is ~100x less array mass
-    through the heaviest shuffle of the chain.
+    shingle-hash arrays.  No candidate semi-join prune here (see
+    estimate_jaccard — the stored-shingles path is the dup-dense
+    shape; the pruned sparse-corpus shape is verify_pairs_recompute).
     Output: (url_a, url_b, jaccard).
     """
-    sh = (
-        fp.filter(F.col("n_shingles") > 0)
-        .select("url", "shingles")
-        .join(_candidate_urls(pairs), "url", "left_semi")
-    )
+    sh = fp.filter(F.col("n_shingles") > 0).select("url", "shingles")
     p = (
         pairs.join(sh.withColumnsRenamed({"url": "url_a", "shingles": "sh_a"}), "url_a")
         .join(sh.withColumnsRenamed({"url": "url_b", "shingles": "sh_b"}), "url_b")
@@ -158,7 +171,7 @@ def verify_pairs(pairs: DataFrame, fp: DataFrame, cfg: DedupConfig) -> DataFrame
 
 
 def verify_pairs_recompute(
-    pairs: DataFrame, docs_text: DataFrame, cfg: DedupConfig
+    pairs: DataFrame, docs_text: DataFrame, cfg: DedupConfig, pairs_pinned: bool = False
 ) -> DataFrame:
     """Exact verify that RECOMPUTES shingle sets for candidate docs.
 
@@ -170,6 +183,7 @@ def verify_pairs_recompute(
     """
     from deduplicator_spark.functions.fingerprints import make_shingles_udf
 
+    pairs = _pin_pairs(pairs, pairs_pinned)
     cand = _candidate_urls(pairs)
     sh_udf = make_shingles_udf(cfg)
     sh = (
@@ -197,6 +211,7 @@ def verify_pairs_two_stage_recompute(
     survivors = est.filter(F.col("est_jaccard") >= cfg.est_jaccard_prefilter).select(
         "url_a", "url_b"
     )
+    # verify_pairs_recompute pins survivors before its double reference
     return verify_pairs_recompute(survivors, docs_text, cfg)
 
 

@@ -35,16 +35,26 @@ def encode_ids(docs: DataFrame, url_col: str = "url") -> tuple[DataFrame, bool]:
 
     hash_ok=True  -> nid == xxhash64(url): attach ids with a projection.
     hash_ok=False -> collision detected: dense fallback ids, attach via join.
+
+    The returned dictionary is already materialized (lazy checkpoint
+    driven by the collision-check action here), so callers must NOT
+    add their own checkpoint — per-job overhead is the measured
+    scaling floor of the chain, and the old caller-side
+    ``dict_ids.localCheckpoint()`` was a second full scan of the
+    fingerprint frame just to store what this function had already
+    computed.
     """
     urls = docs.select(F.col(url_col).alias("url")).distinct()
-    ids = urls.select("url", F.xxhash64("url").alias("nid"))
+    ids = urls.select("url", F.xxhash64("url").alias("nid")).localCheckpoint(
+        eager=False
+    )
     counts = ids.agg(
         F.count("*").alias("n"), F.count_distinct("nid").alias("nd")
     ).collect()[0]
     if counts["n"] == counts["nd"]:
         return ids, True
     dense = urls.rdd.zipWithIndex().map(lambda t: (t[0][0], t[1]))
-    return dense.toDF(["url", "nid"]), False
+    return dense.toDF(["url", "nid"]).localCheckpoint(), False
 
 
 def encode_fp(fp: DataFrame, dict_ids: DataFrame, hash_ok: bool = True, url_col: str = "url") -> DataFrame:

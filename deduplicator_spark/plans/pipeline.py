@@ -217,7 +217,6 @@ class DedupPipeline:
         # projection over the checkpointed fingerprints — no join, no
         # second materialization of the wide rows.
         dict_ids, hash_ok = encode_ids(fingerprints)
-        dict_ids = dict_ids.localCheckpoint()
         fp_n = encode_fp(fingerprints, dict_ids, hash_ok)
         if not hash_ok:
             fp_n = fp_n.localCheckpoint()

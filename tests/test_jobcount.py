@@ -1,0 +1,76 @@
+"""Pin the Spark-job count of the flagship dedup chain.
+
+Per-job overhead is the measured scaling floor of the chain on a
+single box (tools/stage_ladder.py: encode_ids / verify / cc_decode run
+at ~0.25-0.34 efficiency because their wall time is mostly fixed
+per-action cost, not compute), and on a real cluster every job is a
+scheduler round-trip plus an AQE re-plan.  These tests count the jobs
+an end-to-end run launches via the status tracker and fail if a change
+sneaks in extra materializing actions (the r3 regression was exactly
+that: a candidate-url semi-join probe re-executing the lazy pairs
+subtree, plus caller-side re-checkpoints of the id dictionary).
+
+The ceilings are deliberately loose (~1.5x observed) so AQE's
+stage-materializing sub-jobs and minor plan changes don't flake them;
+they exist to catch order-of-magnitude job-count creep, not exact
+counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from deduplicator_spark.functions.fingerprints import make_fingerprint_udf
+from deduplicator_spark.operators.components import clusters_from_pairs
+from deduplicator_spark.operators.lsh import (
+    band_explode,
+    candidate_pairs,
+    verify_pairs_two_stage,
+)
+from deduplicator_spark.plans.chain import decode_clusters, encode_fp, encode_ids
+
+
+def _job_count(spark, fn) -> int:
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None))
+    fn()
+    return len(tracker.getJobIdsForGroup(None)) - before
+
+
+def _chain(spark, cfg, pages):
+    fp_udf = make_fingerprint_udf(cfg)
+    fp = (
+        pages.select("url", fp_udf(F.col("text")).alias("f"))
+        .select("url", "f.*")
+        .localCheckpoint()
+    )
+    dict_ids, hash_ok = encode_ids(fp)
+    fp_n = encode_fp(fp, dict_ids, hash_ok)
+    banded = band_explode(fp_n, cfg)
+    pairs, _ = candidate_pairs(banded, cfg)
+    verified = verify_pairs_two_stage(pairs, fp_n, cfg)
+    return decode_clusters(clusters_from_pairs(verified, min_size=2), dict_ids).count()
+
+
+def test_chain_job_count_bounded(spark, cfg, small_pages):
+    # warm-up run (AQE/codegen warm, and the job mix stabilizes)
+    _chain(spark, cfg, small_pages)
+    n_jobs = _job_count(spark, lambda: _chain(spark, cfg, small_pages))
+    # observed ~12-20 jobs with AQE sub-jobs at 300 docs (fp checkpoint,
+    # id-dict materialize + collision check, CC rounds, final count);
+    # pre-fix regressions pushed this past 30
+    assert n_jobs <= 28, f"flagship chain launched {n_jobs} jobs (ceiling 28)"
+
+
+def test_cc_job_count_scales_with_rounds_not_edges(spark):
+    # a simple pair graph: CC should converge in ONE counted round
+    # (labels are seeded with the neighbor-min propagation) — 2 jobs
+    # observed (round-1 count + final count); ceiling covers AQE noise
+    edges = spark.createDataFrame(
+        [(f"u{i:03d}", f"v{i:03d}") for i in range(50)], ["url_a", "url_b"]
+    )
+    clusters_from_pairs(edges, min_size=2).count()  # warm-up
+    n_jobs = _job_count(
+        spark, lambda: clusters_from_pairs(edges, min_size=2).count()
+    )
+    assert n_jobs <= 6, f"pair-graph CC launched {n_jobs} jobs (ceiling 6)"

@@ -67,7 +67,6 @@ def staged_job(spark, corpus: str) -> dict[str, float]:
 
     def s_encode():
         dict_ids, hash_ok = encode_ids(fp)
-        dict_ids = dict_ids.localCheckpoint()
         fp_n = encode_fp(fp, dict_ids, hash_ok).localCheckpoint()
         return dict_ids, fp_n
 

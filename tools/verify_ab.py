@@ -72,7 +72,6 @@ def chain(spark, corpus, verify_fn) -> int:
         .localCheckpoint()
     )
     dict_ids, hash_ok = encode_ids(fp)
-    dict_ids = dict_ids.localCheckpoint()
     fp_n = encode_fp(fp, dict_ids, hash_ok)
     banded = band_explode(fp_n, CFG)
     pairs, _ = candidate_pairs(banded, CFG)

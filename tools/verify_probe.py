@@ -75,7 +75,6 @@ def run_level(cpus: int) -> dict:
         .localCheckpoint()
     )
     dict_ids, hash_ok = encode_ids(fp)
-    dict_ids = dict_ids.localCheckpoint()
     fp_n = encode_fp(fp, dict_ids, hash_ok).localCheckpoint()
     banded = band_explode(fp_n, CFG)
     pairs, _ = candidate_pairs(banded, CFG)
