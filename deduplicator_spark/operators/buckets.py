@@ -39,8 +39,20 @@ def bucket_pairs(
     url_col: str = "url",
     ring_k: int = 8,
     overcap: str = "ring",
+    pin_keyed: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """(pairs(url_a, url_b), overflow(key_cols..., bucket_size)).
+
+    ``pin_keyed`` (default True) materializes ``keyed`` once before the
+    three passes below reference it (counts, within-cap route, over-cap
+    route): Catalyst shares no common subtrees, so a lazy ``keyed`` —
+    typically an explode + hash over the fingerprint frame — is
+    re-executed per reference (measured: pinning halves the candidate
+    stage, 18.5s -> 8.8s + a 4s pin at 8 cores / 200k docs).  Pass
+    False when the keyed frame is too large to store (e.g. 10^12-doc
+    banding, ~600 TB: recomputing the explode from the columnar
+    fingerprint checkpoint beats storing it; the passes remain
+    scan-parallel either way).
 
     Buckets within ``cap`` expand to all pairs.  Buckets OVER ``cap``
     (mega-clusters: a 10^5-member boilerplate bucket would emit 5e9
@@ -65,6 +77,8 @@ def bucket_pairs(
     """
     if overcap not in ("ring", "star"):
         raise ValueError(f"overcap must be 'ring' or 'star', got {overcap!r}")
+    if pin_keyed:
+        keyed = keyed.localCheckpoint()
     counts = keyed.groupBy(*key_cols).agg(F.count("*").alias("bucket_size"))
     overflow = counts.filter(F.col("bucket_size") > cap)
     small_keys = counts.filter(
