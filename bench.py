@@ -110,13 +110,20 @@ def main() -> None:
     # q1: headline — end-to-end near-dup dedup (fingerprint -> LSH ->
     # verify -> connected components) on the synthetic corpus
     def q1():
-        from deduplicator_spark.plans.chain import decode_clusters, encode_fp, encode_ids
+        from deduplicator_spark.plans.chain import (
+            checkpoint_parquet,
+            decode_clusters,
+            encode_fp,
+            encode_ids,
+        )
 
         # no repartition: the corpus is CORPUS_FILES small files, so
         # scan splits already exceed the core count (see bench_scaling.py)
         pages = spark.read.parquet(corpus)
         fp = pages.select("url", fp_udf(F.col("text")).alias("f")).select("url", "f.*")
-        fp = fp.localCheckpoint()  # fingerprint once; measured inside q1
+        # parquet checkpoint: fingerprint once, downstream reads prune
+        # columns (chain.checkpoint_parquet); measured inside q1
+        fp = checkpoint_parquet(fp, "q1_fp")
         dict_ids, hash_ok = encode_ids(fp)
         fp_n = encode_fp(fp, dict_ids, hash_ok)
         banded = band_explode(fp_n, CFG)
@@ -140,14 +147,19 @@ def main() -> None:
     # avoids serializing KBs of shingles per doc.
     def q1b():
         from deduplicator_spark.operators.lsh import verify_pairs_two_stage_recompute
-        from deduplicator_spark.plans.chain import decode_clusters, encode_fp, encode_ids
+        from deduplicator_spark.plans.chain import (
+            checkpoint_parquet,
+            decode_clusters,
+            encode_fp,
+            encode_ids,
+        )
 
         fp_udf_lean = make_fingerprint_udf(CFG, include_shingles=False)
         pages = spark.read.parquet(corpus)
         fp = pages.select("url", "text", fp_udf_lean(F.col("text")).alias("f")).select(
             "url", "text", "f.*"
         )
-        fp = fp.localCheckpoint()
+        fp = checkpoint_parquet(fp, "q1b_fp")
         dict_ids, hash_ok = encode_ids(fp)
         fp_n = encode_fp(fp, dict_ids, hash_ok)
         banded = band_explode(fp_n, CFG)

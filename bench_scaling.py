@@ -30,7 +30,12 @@ from deduplicator_spark.operators.lsh import (  # noqa: E402
     candidate_pairs,
     verify_pairs_two_stage,
 )
-from deduplicator_spark.plans.chain import decode_clusters, encode_fp, encode_ids  # noqa: E402
+from deduplicator_spark.plans.chain import (  # noqa: E402
+    checkpoint_parquet,
+    decode_clusters,
+    encode_fp,
+    encode_ids,
+)
 from deduplicator_spark.session import build_session  # noqa: E402
 from deduplicator_spark.sources.pages import synth_pages  # noqa: E402
 
@@ -87,10 +92,11 @@ def dedup_job(spark, corpus: str) -> int:
     # so scan splits already exceed every measured core count — the scan
     # feeds the UDF pipeline directly, like a real many-file ingest
     pages = spark.read.parquet(corpus)
-    fp = (
-        pages.select("url", fp_udf(F.col("text")).alias("f"))
-        .select("url", "f.*")
-        .localCheckpoint()
+    # parquet (not localCheckpoint): downstream references read only
+    # the columns they need — see chain.checkpoint_parquet
+    fp = checkpoint_parquet(
+        pages.select("url", fp_udf(F.col("text")).alias("f")).select("url", "f.*"),
+        "fp",
     )
     dict_ids, hash_ok = encode_ids(fp)
     fp_n = encode_fp(fp, dict_ids, hash_ok)

@@ -26,8 +26,47 @@ the dictionary join instead of the hash projection.
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def checkpoint_parquet(df: DataFrame, name: str) -> DataFrame:
+    """Materialize ``df`` as a parquet checkpoint and return the
+    re-read frame.
+
+    Preferred over ``localCheckpoint`` for WIDE frames that are
+    referenced repeatedly with different column needs: localCheckpoint
+    is a row store with no column pruning, so every reference re-reads
+    the KB-scale shingle arrays even when it only needs a 512-byte
+    signature — measured 42.8s -> 34.8s median on the 200k-doc
+    flagship chain at 8 cores when the fingerprint checkpoint switched
+    to parquet (tools/fp_checkpoint_ab.py).  It is also exactly the
+    durable shape the full pipeline writes for resume, so bench and
+    production share one physical layout.
+
+    Files land under ``$DEDUP_CKPT_DIR`` (default: /dev/shm when
+    present, else the system temp dir), keyed by Spark application id
+    and ``name`` — re-running the same stage in one session overwrites
+    rather than accumulates.
+    """
+    spark = df.sparkSession
+    path = checkpoint_path(spark, name)
+    df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def checkpoint_path(spark, name: str) -> str:
+    """Ephemeral checkpoint location for this application: under
+    ``$DEDUP_CKPT_DIR`` (default /dev/shm when present, else the
+    system temp dir), keyed by application id so concurrent sessions
+    never collide and same-name stages overwrite within a session."""
+    base = os.environ.get("DEDUP_CKPT_DIR") or (
+        "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    )
+    return os.path.join(base, "dedup-ckpt", spark.sparkContext.applicationId, name)
 
 
 def encode_ids(docs: DataFrame, url_col: str = "url") -> tuple[DataFrame, bool]:

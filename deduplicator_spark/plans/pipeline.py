@@ -101,31 +101,31 @@ class DedupPipeline:
         Metrics cost ZERO extra Spark actions (VERDICT r2 "What's
         wrong" #3: the old per-stage ``groupBy(spark_partition_id)
         .count().collect()`` added 8+ jobs per run and dominated
-        small-sf wall time): durable stages read per-file row counts
-        from the parquet footers the write just produced; ephemeral
-        (work_dir=None) stages record wall time + partition count only
-        (rows = -1, "not counted").
+        small-sf wall time): every stage reads per-file row counts
+        from the parquet footers the write just produced.
+
+        Ephemeral (work_dir=None) stages also write parquet — to the
+        application-scoped tmpfs dir (``chain.checkpoint_path``) —
+        rather than ``localCheckpoint``: the row-store checkpoint has
+        no column pruning, so every downstream reference re-read the
+        KB-scale shingle arrays (measured 42.8s -> 34.8s on the 200k
+        chain when its fingerprint checkpoint switched to parquet,
+        tools/fp_checkpoint_ab.py), and the parquet footers give
+        ephemeral runs the same per-file lineage the durable path has.
         """
+        from deduplicator_spark.plans.chain import checkpoint_path
+
         p = self._path(stage)
         t0 = time.monotonic()
         if p and resume and self._done(stage):
             out = self.spark.read.parquet(p)
             self._record_files(stage, p, time.monotonic() - t0, cached=True)
             return out
-        if p:
-            df.write.mode("overwrite").parquet(p)
-            out = self.spark.read.parquet(p)
-            self._record_files(stage, p, time.monotonic() - t0, cached=False)
-        else:
-            out = df.localCheckpoint()
-            self.metrics.append(
-                StageMetric(
-                    stage=stage,
-                    rows=-1,
-                    wall_s=round(time.monotonic() - t0, 3),
-                    n_partitions=out.rdd.getNumPartitions(),
-                )
-            )
+        if not p:
+            p = checkpoint_path(self.spark, f"{self.run_id}/{stage}")
+        df.write.mode("overwrite").parquet(p)
+        out = self.spark.read.parquet(p)
+        self._record_files(stage, p, time.monotonic() - t0, cached=False)
         return out
 
     def _record_files(self, stage: str, path: str, wall_s: float, cached: bool) -> None:
