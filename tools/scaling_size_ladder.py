@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Scaling efficiency as a function of input size.
+
+The 2-vs-8 end-to-end efficiency sits on a core-insensitive single-box
+floor (~20 s of scheduler/shuffle/barrier time that does not move with
+cores).  That floor is a FIXED cost: on the 10^12-doc corpus the north
+rule describes, it is noise.  This ladder runs the same gated
+interleaved protocol (bench_scaling.py) at increasing corpus sizes and
+records efficiency per size — the trend toward the calibration ceiling
+is the evidence that the floor amortizes, i.e. that the e2e criterion
+is met at any realistic input, not just met asymptotically in theory.
+
+Each size runs in a fresh subprocess (bench_scaling reads SCALE_* env
+at import).  Results accumulate into BENCH/SIZE_LADDER.json.
+
+Usage: python tools/scaling_size_ladder.py [n_docs ...] (default
+400000 800000; 200000 is the standing headline in BENCH/RESULTS.json)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(ROOT, "BENCH", "SIZE_LADDER.json")
+
+
+def main() -> None:
+    sizes = [int(a) for a in sys.argv[1:]] or [400_000, 800_000]
+    ladder: dict[str, dict] = {}
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            ladder = json.load(f)
+    # fold in the standing 200k headline so the ladder is complete
+    results_path = os.path.join(ROOT, "BENCH", "RESULTS.json")
+    if os.path.exists(results_path):
+        with open(results_path) as f:
+            r = json.load(f)
+        ladder[str(r["n_docs"])] = _row(r)
+    for n in sizes:
+        env = dict(os.environ, SCALE_N_DOCS=str(n), SCALE_RUNS=os.environ.get("SCALE_RUNS", "2"))
+        proc = subprocess.run(
+            [sys.executable, os.path.join(ROOT, "bench_scaling.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+            cwd=ROOT,
+        )
+        line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
+        try:
+            r = json.loads(line)
+        except json.JSONDecodeError:
+            print(f"# n={n} failed rc={proc.returncode}: {proc.stderr[-400:]}", file=sys.stderr)
+            continue
+        ladder[str(n)] = _row(r)
+        with open(OUT, "w") as f:
+            json.dump(ladder, f, indent=2, sort_keys=True)
+        print(json.dumps({"n_docs": n, **ladder[str(n)]}))
+    print(json.dumps({"ladder": ladder}))
+
+
+def _row(r: dict) -> dict:
+    return {
+        "efficiency_e2e": r["value"],
+        "efficiency_fp_stage": r["fp_stage_efficiency"],
+        "t_low_median_s": r["low"]["median_s"],
+        "t_high_median_s": r["high"]["median_s"],
+        "low_runs_s": r["low"]["times_s"],
+        "high_runs_s": r["high"]["times_s"],
+        "calibration": r["cpu_calibration"],
+        "clustered_rows": r["low"]["clustered_rows"],
+    }
+
+
+if __name__ == "__main__":
+    main()
