@@ -58,16 +58,21 @@ def staged_job(spark, corpus: str) -> dict[str, float]:
     fp_udf = make_fingerprint_udf(CFG)
 
     def s_fp():
+        from deduplicator_spark.plans.chain import checkpoint_parquet
+
         pages = spark.read.parquet(corpus)
         fp = pages.select("url", fp_udf(F.col("text")).alias("f")).select("url", "f.*")
-        fp = fp.localCheckpoint()
-        return fp
+        # parquet checkpoint — matches dedup_job's current shape
+        return checkpoint_parquet(fp, "ladder_fp")
 
     fp = stage("fingerprint", s_fp)
 
     def s_encode():
+        from deduplicator_spark.plans.chain import checkpoint_parquet
+
         dict_ids, hash_ok = encode_ids(fp)
-        fp_n = encode_fp(fp, dict_ids, hash_ok).localCheckpoint()
+        # parquet barrier keeps column pruning for the downstream stages
+        fp_n = checkpoint_parquet(encode_fp(fp, dict_ids, hash_ok), "ladder_fp_n")
         return dict_ids, fp_n
 
     dict_ids, fp_n = stage("encode_ids", s_encode)
