@@ -31,8 +31,16 @@ debugging (the reference's analog: the shelve key itself).
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Serializes the AQE toggle in connected_components: Spark has no
+# per-query conf, so the toggle is session-global, and two overlapping
+# CC calls on one session could otherwise race the restore (second
+# call saves "false" as its before-value and AQE stays off forever).
+_AQE_TOGGLE_LOCK = threading.Lock()
 
 
 def connected_components(
@@ -55,14 +63,26 @@ def connected_components(
     Inside the loop AQE has nothing to add: join keys are uniform
     8-byte surrogate ids, skew was handled at candidate generation,
     and the label/edge frames shrink monotonically.
+
+    BLAST RADIUS (session-global, documented per VERDICT/ADVICE r3):
+    Spark exposes no per-query conf, so the toggle mutates the SHARED
+    session conf — any query running concurrently on the same
+    SparkSession during the loop silently loses AQE (including the
+    skew-join handling ``build_session`` turns on) until the restore.
+    A module lock serializes overlapping ``connected_components``
+    calls so the restore itself can't race, but it cannot shield
+    unrelated concurrent queries.  The driver contract here is
+    single-threaded per session; if you share a session across
+    threads, run CC on its own session.  See PLANS.md §4c.
     """
     spark = edges.sparkSession
-    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        return _cc_loop(edges, src, dst, max_iter)
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+    with _AQE_TOGGLE_LOCK:
+        aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            return _cc_loop(edges, src, dst, max_iter)
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
 
 
 def _cc_loop(

@@ -152,29 +152,76 @@ def _gram_hashes(p: np.ndarray, pinv: np.ndarray, n: int, L: int) -> np.ndarray:
         return (p[L : n + 1] - p[: n - L + 1]) * pinv[: n - L + 1]
 
 
-def lcs_len_fast(xa: np.ndarray, xb: np.ndarray) -> int | None:
+class _ASideHasher:
+    """Precomputed a-side state for ``lcs_len_fast``, shared across
+    every partner of one verify group (VERDICT r3 "what's wrong" #1:
+    recomputing the O(|a|) prefix hash — and re-sorting the a-side
+    gram hashes — once per partner dominated the substring verify
+    stage, 35.5 s of q9's 75.6 s at sf0.1).
+
+    ``grams(L)`` returns the a-side L-gram hashes SORTED plus the
+    stable argsort order (so a searchsorted probe maps back to gram
+    positions for exact byte confirmation).  Cached per L with a hard
+    entry cap: partners of similar length binary-search overlapping L
+    values, but an unbounded cache over a 100 KB doc could hold
+    hundreds of O(|a|) arrays."""
+
+    _MAX_CACHED = 48
+
+    def __init__(self, xa: np.ndarray):
+        self.xa = xa
+        self.pa = _prefix_hash(xa)
+        self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    def grams(self, L: int) -> tuple[np.ndarray, np.ndarray]:
+        hit = self._cache.get(L)
+        if hit is not None:
+            return hit
+        _, pinv = _powers(len(self.xa))
+        ha = _gram_hashes(self.pa, pinv, len(self.xa), L)
+        order = np.argsort(ha, kind="stable")
+        entry = (ha[order], order)
+        if len(self._cache) >= self._MAX_CACHED:
+            self._cache.clear()
+        self._cache[L] = entry
+        return entry
+
+
+def lcs_len_fast(
+    xa: np.ndarray, xb: np.ndarray, a_state: _ASideHasher | None = None
+) -> int | None:
     """Exact LCS length of two uint8 byte arrays, ~25x faster than the
     per-pair suffix array on web-page lengths: binary search over L,
-    each probe one vectorized hash-set intersection with EXACT byte
+    each probe one vectorized sorted-hash intersection with EXACT byte
     confirmation of every candidate position (hash equality alone never
     decides).  Returns None iff some probe hash-matched but no
     candidate byte-confirmed (a 2^-64-scale collision) — the caller
     falls back to the suffix-array path, so the result is never wrong.
+
+    ``a_state`` carries the a-side prefix hash + per-L sorted gram
+    hashes, computed ONCE per verify group instead of once per partner.
     """
     na, nb = len(xa), len(xb)
     if na == 0 or nb == 0:
         return 0
     _, pinv = _powers(max(na, nb))
-    pa, pb = _prefix_hash(xa), _prefix_hash(xb)
+    if a_state is None:
+        a_state = _ASideHasher(xa)
+    pb = _prefix_hash(xb)
 
     def exists(L: int) -> bool | None:
-        ha = _gram_hashes(pa, pinv, na, L)
+        ha_sorted, order = a_state.grams(L)
         hb = _gram_hashes(pb, pinv, nb, L)
-        _, ia, ib = np.intersect1d(ha, hb, return_indices=True)
-        if len(ia) == 0:
+        ub, ib = np.unique(hb, return_index=True)
+        pos = np.searchsorted(ha_sorted, ub)
+        pos_c = np.minimum(pos, len(ha_sorted) - 1)
+        hit = (pos < len(ha_sorted)) & (ha_sorted[pos_c] == ub)
+        if not hit.any():
             return False
+        ia = order[pos_c[hit]]
+        ibh = ib[hit]
         offs = np.arange(L)
-        ok = (xa[ia[:, None] + offs] == xb[ib[:, None] + offs]).all(axis=1)
+        ok = (xa[ia[:, None] + offs] == xb[ibh[:, None] + offs]).all(axis=1)
         return True if bool(ok.any()) else None
 
     lo, hi = 0, min(na, nb)
@@ -313,11 +360,14 @@ def substring_pairs(
             return pd.DataFrame(columns=["url_a", "url_b", "matched_len"])
         na = " ".join((self_rows["t"].iloc[0] or "").lower().split())
         xa = np.frombuffer(na.encode("utf-8"), dtype=np.uint8)
+        # a-side prefix hash + sorted gram hashes computed once per
+        # group, shared by every partner probe (hoisted per VERDICT r3)
+        a_state = _ASideHasher(xa)
         rows = []
         for url_a, url_b, tb in zip(part["url_a"], part["url_b"], part["t"]):
             nb = " ".join((tb or "").lower().split())
             xb = np.frombuffer(nb.encode("utf-8"), dtype=np.uint8)
-            m = lcs_len_fast(xa, xb)
+            m = lcs_len_fast(xa, xb, a_state)
             if m is None:  # unconfirmed hash collision — exact slow path
                 m = longest_common_substring_len(na, nb)
             if m >= min_len:

@@ -26,11 +26,28 @@ the dictionary join instead of the hash projection.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
+import time
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def cluster_visible_ckpt(spark) -> bool:
+    """Driver-local parquet checkpoints are only correct when every
+    executor shares the driver's filesystem: a ``local[*]`` master, or
+    the user explicitly pointing ``DEDUP_CKPT_DIR`` at cluster-visible
+    storage (HDFS/NFS/object-store mount).  On any other master a
+    scheme-less /dev/shm path would let executors commit task files to
+    their OWN local disks and the driver's read-back silently return
+    partial data (ADVICE r3) — callers must fall back to
+    ``localCheckpoint`` instead."""
+    if os.environ.get("DEDUP_CKPT_DIR"):
+        return True
+    return spark.sparkContext.master.startswith("local")
 
 
 def checkpoint_parquet(df: DataFrame, name: str) -> DataFrame:
@@ -50,9 +67,15 @@ def checkpoint_parquet(df: DataFrame, name: str) -> DataFrame:
     Files land under ``$DEDUP_CKPT_DIR`` (default: /dev/shm when
     present, else the system temp dir), keyed by Spark application id
     and ``name`` — re-running the same stage in one session overwrites
-    rather than accumulates.
+    rather than accumulates, and the application dir is reclaimed at
+    driver exit (``_register_app_dir``).  On a non-local master with
+    no explicit cluster-visible ``DEDUP_CKPT_DIR`` this degrades to
+    ``localCheckpoint`` — correct everywhere, just without parquet's
+    column pruning.
     """
     spark = df.sparkSession
+    if not cluster_visible_ckpt(spark):
+        return df.localCheckpoint()
     path = checkpoint_path(spark, name)
     df.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
@@ -62,11 +85,64 @@ def checkpoint_path(spark, name: str) -> str:
     """Ephemeral checkpoint location for this application: under
     ``$DEDUP_CKPT_DIR`` (default /dev/shm when present, else the
     system temp dir), keyed by application id so concurrent sessions
-    never collide and same-name stages overwrite within a session."""
+    never collide and same-name stages overwrite within a session.
+    First call per application registers exit-time cleanup and purges
+    stale sibling app dirs (ADVICE r3: /dev/shm is RAM — leaked
+    checkpoint dirs from past runs accumulate until tmpfs exhaustion)."""
     base = os.environ.get("DEDUP_CKPT_DIR") or (
         "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
     )
-    return os.path.join(base, "dedup-ckpt", spark.sparkContext.applicationId, name)
+    root = os.path.join(base, "dedup-ckpt")
+    app_dir = os.path.join(root, spark.sparkContext.applicationId)
+    _register_app_dir(app_dir, root)
+    return os.path.join(app_dir, name)
+
+
+_registered_app_dirs: set[str] = set()
+
+
+def _register_app_dir(app_dir: str, root: str) -> None:
+    """tmpfs hygiene: mark this application's checkpoint dir with the
+    driver pid and remove it at interpreter exit; purge sibling app
+    dirs left behind by crashed/killed drivers (their recorded pid is
+    dead) or, when no pidfile survives, older than
+    ``$DEDUP_CKPT_TTL_S`` (default 6 h)."""
+    if app_dir in _registered_app_dirs:
+        return
+    _registered_app_dirs.add(app_dir)
+    os.makedirs(app_dir, exist_ok=True)
+    with open(os.path.join(app_dir, ".driver-pid"), "w") as fh:
+        fh.write(str(os.getpid()))
+    atexit.register(shutil.rmtree, app_dir, ignore_errors=True)
+    try:
+        ttl = float(os.environ.get("DEDUP_CKPT_TTL_S", str(6 * 3600)))
+        now = time.time()
+        for d in os.listdir(root):
+            p = os.path.join(root, d)
+            if p != app_dir and os.path.isdir(p) and _stale_app_dir(p, now, ttl):
+                shutil.rmtree(p, ignore_errors=True)
+    except OSError:
+        pass
+
+
+def _stale_app_dir(p: str, now: float, ttl: float) -> bool:
+    """Dead recorded driver pid -> stale.  Live pid -> never purge
+    (a concurrent session owns it).  Unreadable/absent pidfile (old
+    layout, partial write) -> fall back to an mtime TTL."""
+    try:
+        pid = int(open(os.path.join(p, ".driver-pid")).read().strip())
+    except (OSError, ValueError):
+        try:
+            return now - os.path.getmtime(p) > ttl
+        except OSError:
+            return False
+    try:
+        os.kill(pid, 0)
+        return False
+    except ProcessLookupError:
+        return True
+    except PermissionError:
+        return False
 
 
 def encode_ids(docs: DataFrame, url_col: str = "url") -> tuple[DataFrame, bool]:

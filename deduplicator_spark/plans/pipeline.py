@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import os
 import time
+import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -66,6 +67,11 @@ class DedupPipeline:
         self.cfg = cfg or DedupConfig()
         self.work_dir = work_dir
         self.run_id = run_id
+        # ephemeral (work_dir=None) checkpoints are namespaced per
+        # INSTANCE, not per run_id: two pipelines on one SparkSession
+        # (same applicationId) with the default run_id would otherwise
+        # overwrite each other's stage parquet mid-scan (ADVICE r3)
+        self._eph_ns = f"{run_id}-{uuid.uuid4().hex[:8]}"
         self.metrics: list[StageMetric] = []
         # set per-run: (input signature, verify-shape marker) — both key
         # the checkpoint namespace so resuming against DIFFERENT input
@@ -113,7 +119,7 @@ class DedupPipeline:
         tools/fp_checkpoint_ab.py), and the parquet footers give
         ephemeral runs the same per-file lineage the durable path has.
         """
-        from deduplicator_spark.plans.chain import checkpoint_path
+        from deduplicator_spark.plans.chain import checkpoint_path, cluster_visible_ckpt
 
         p = self._path(stage)
         t0 = time.monotonic()
@@ -122,7 +128,24 @@ class DedupPipeline:
             self._record_files(stage, p, time.monotonic() - t0, cached=True)
             return out
         if not p:
-            p = checkpoint_path(self.spark, f"{self.run_id}/{stage}")
+            if not cluster_visible_ckpt(self.spark):
+                # non-local master, no cluster-visible DEDUP_CKPT_DIR:
+                # a driver-local parquet path would silently lose
+                # executor task files — fall back to localCheckpoint
+                # (row counts then cost an action, so lineage records
+                # rows=-1 = unknown rather than paying one)
+                out = df.localCheckpoint()
+                self.metrics.append(
+                    StageMetric(
+                        stage=stage,
+                        rows=-1,
+                        wall_s=round(time.monotonic() - t0, 3),
+                        n_partitions=-1,
+                        partition_rows=[],
+                    )
+                )
+                return out
+            p = checkpoint_path(self.spark, f"{self._eph_ns}/{stage}")
         df.write.mode("overwrite").parquet(p)
         out = self.spark.read.parquet(p)
         self._record_files(stage, p, time.monotonic() - t0, cached=False)

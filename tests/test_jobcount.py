@@ -18,6 +18,8 @@ counts.
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import functions as F
 
 from deduplicator_spark.functions.fingerprints import make_fingerprint_udf
@@ -31,10 +33,23 @@ from deduplicator_spark.plans.chain import decode_clusters, encode_fp, encode_id
 
 
 def _job_count(spark, fn) -> int:
-    tracker = spark.sparkContext.statusTracker()
-    before = len(tracker.getJobIdsForGroup(None))
-    fn()
-    return len(tracker.getJobIdsForGroup(None)) - before
+    """Count jobs launched by ``fn`` inside a UNIQUE job group.
+
+    The old before/after diff of ``getJobIdsForGroup(None)`` only saw
+    default-group jobs and was capped by ``spark.ui.retainedJobs`` —
+    in a long test session eviction shrinks before/after unevenly and
+    the ceiling silently stops catching regressions (ADVICE r3).  A
+    fresh group gives an absolute count: the measured call launches
+    far fewer jobs than the retention cap (default 1000), and they
+    are the newest jobs so none are evicted before we read."""
+    sc = spark.sparkContext
+    group = f"jobcount-{uuid.uuid4().hex}"
+    sc.setJobGroup(group, "job-count measurement")
+    try:
+        fn()
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    return len(sc.statusTracker().getJobIdsForGroup(group))
 
 
 def _chain(spark, cfg, pages):

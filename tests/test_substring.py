@@ -132,3 +132,35 @@ def test_lcs_fast_equals_suffix_array():
         fast = lcs_len_fast(xa, xb)
         assert fast is not None  # collisions are 2^-64 events
         assert fast == longest_common_substring_len(a, b), (a[:40], b[:40])
+
+
+def test_lcs_fast_shared_a_state_across_partners():
+    """One _ASideHasher reused across MANY partners (the verify_group
+    shape after the r4 prefix-hash hoist) must give the same answers
+    as fresh per-call state — including partners LONGER than the
+    a-side (forces the powers cache to grow after the state was
+    built) and enough distinct probe lengths to trip the per-L gram
+    cache's eviction cap."""
+    import numpy as np
+
+    from deduplicator_spark.operators.substring import (
+        _ASideHasher,
+        lcs_len_fast,
+        longest_common_substring_len,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    alphabet = list("ab cd")
+    a = "shared anchor text that many partners contain " * 6
+    xa = np.frombuffer(a.encode(), dtype=np.uint8)
+    a_state = _ASideHasher(xa)
+    partners = []
+    for m in (3, 17, 40, 90, 150, 260, 300, 700, 1200):
+        noise = "".join(rng.choice(alphabet, m))
+        partners += [noise, noise[: m // 2] + a[10:60] + noise[m // 2 :], a + noise]
+    for b in partners:
+        xb = np.frombuffer(b.encode(), dtype=np.uint8)
+        shared = lcs_len_fast(xa, xb, a_state)
+        fresh = lcs_len_fast(xa, xb)
+        assert shared == fresh
+        assert shared == longest_common_substring_len(a, b)
