@@ -225,15 +225,37 @@ def main() -> None:
     # q8: the S4 decode source in the measured path (VERDICT r2 #6) —
     # the SAME flagship pipeline but starting from raw html, with the
     # extractor deriving text inside the job.  Cluster output must
-    # equal the text-path run (byte-identity invariant).
+    # equal the text-path run (byte-identity invariant).  4 runs + a
+    # per-stage breakdown + an extract-only probe (VERDICT r3 #3: the
+    # first measurement was bimodal at n=2 and could not separate the
+    # extract UDF from host load).  Extraction is FUSED into the
+    # fingerprints stage (one scan, html never checkpointed), so the
+    # extract share = q8 fingerprints wall - q5 fingerprints wall, and
+    # the standalone probe bounds it independently.
+    q8_stages: dict[str, float] = {}
+
     def q8():
         pages = spark.read.parquet(corpus)
-        out = DedupPipeline(spark, CFG, work_dir=None, run_id="bench-html").run(
-            pages, extract_text_from_html=True
-        )
-        return out["clusters"].count()
+        pipe = DedupPipeline(spark, CFG, work_dir=None, run_id="bench-html")
+        out = pipe.run(pages, extract_text_from_html=True)
+        n = out["clusters"].count()
+        q8_stages.clear()
+        q8_stages.update({m.stage: m.wall_s for m in pipe.metrics})
+        return n
 
-    n_clusters_html = timed("q8_pipeline_from_html", q8, runs=2)
+    n_clusters_html = timed("q8_pipeline_from_html", q8, runs=4)
+
+    def q8_extract_probe():
+        from deduplicator_spark.sources.extract import extract_text
+
+        pages = spark.read.parquet(corpus)
+        return (
+            pages.select(extract_text(F.col("html")).alias("t"))
+            .agg(F.sum(F.length("t")))
+            .collect()[0][0]
+        )
+
+    timed("q8_extract_only", q8_extract_probe, runs=3)
 
     def q_text_clusters():
         pages = spark.read.parquet(corpus)
@@ -258,6 +280,92 @@ def main() -> None:
 
     timed("q9_pipeline_with_substring", q9, runs=2)
 
+    # recall at the BENCHED scale (VERDICT r3 #6): the >=0.99 bar was
+    # previously pinned only at fixture scale (300 docs).  Here: a
+    # deterministic ~10% stratified sample of the corpus (url-hash
+    # strata — no RNG), exact truth = shingle-Jaccard >= threshold
+    # computed via a distributed shingle inverted index (never all
+    # pairs), recall measured against the PRODUCTION chain's final
+    # clusters (reference cluster semantics: a truth pair is recalled
+    # iff both docs land in the same output cluster — transitive
+    # closure counts, exactly like the reference's shelve groups).
+    def recall_probe() -> dict:
+        from deduplicator_spark.plans.chain import (
+            checkpoint_parquet,
+            decode_clusters,
+            encode_fp,
+            encode_ids,
+        )
+
+        t0 = time.monotonic()
+        sample = (
+            spark.read.parquet(corpus)
+            .where(F.pmod(F.xxhash64("url"), F.lit(10)) == 0)
+        )
+        fp = sample.select("url", fp_udf(F.col("text")).alias("f")).select(
+            "url", "f.*"
+        )
+        fp = checkpoint_parquet(fp, "recall_fp")
+        # exact truth pairs via inverted index on the (distinct) shingle
+        # arrays: per-shingle bucket join -> intersection counts ->
+        # Jaccard from stored set sizes.  Shingle hashes are the same
+        # space the chain's verify compares, so this IS the brute-force
+        # oracle of tests/test_dedup_chain.py, distributed.
+        ex = fp.select("url", F.explode("shingles").alias("sh"))
+        inter = (
+            ex.alias("a")
+            .join(ex.alias("b"), "sh")
+            .where(F.col("a.url") < F.col("b.url"))
+            .groupBy(F.col("a.url").alias("url_a"), F.col("b.url").alias("url_b"))
+            .agg(F.count("*").alias("inter"))
+        )
+        sizes = fp.select("url", "n_shingles")
+        truth = (
+            inter.join(
+                sizes.withColumnsRenamed({"url": "url_a", "n_shingles": "na"}), "url_a"
+            )
+            .join(
+                sizes.withColumnsRenamed({"url": "url_b", "n_shingles": "nb"}), "url_b"
+            )
+            .where(
+                F.col("inter")
+                / (F.col("na") + F.col("nb") - F.col("inter"))
+                >= F.lit(CFG.verify_jaccard)
+            )
+            .select("url_a", "url_b")
+        )
+        truth = checkpoint_parquet(truth, "recall_truth")
+        # production chain on the same sample -> final clusters
+        dict_ids, hash_ok = encode_ids(fp)
+        fp_n = encode_fp(fp, dict_ids, hash_ok)
+        banded = band_explode(fp_n, CFG)
+        pairs, _ = candidate_pairs(banded, CFG)
+        verified = verify_pairs_two_stage(pairs, fp_n, CFG)
+        clusters = decode_clusters(
+            clusters_from_pairs(verified, min_size=2), dict_ids
+        ).select("url", "cluster_id")
+        hit = (
+            truth.join(
+                clusters.withColumnsRenamed({"url": "url_a", "cluster_id": "ca"}),
+                "url_a",
+            )
+            .join(
+                clusters.withColumnsRenamed({"url": "url_b", "cluster_id": "cb"}),
+                "url_b",
+            )
+            .where(F.col("ca") == F.col("cb"))
+        )
+        n_truth, n_hit = truth.count(), hit.count()
+        return {
+            "sample_docs": sample.count(),
+            "truth_pairs": n_truth,
+            "recalled_pairs": n_hit,
+            "recall": round(n_hit / n_truth, 5) if n_truth else None,
+            "wall_s": round(time.monotonic() - t0, 1),
+        }
+
+    recall = recall_probe()
+
     # q1b is an alternate verify shape of q1; q6-q9 are new ops/shapes
     # added after BASELINE.md was frozen — keep the headline total
     # comparable across rounds by excluding them
@@ -266,6 +374,7 @@ def main() -> None:
         "q6_segment_dedup",
         "q7_cdc_chunk_dedup",
         "q8_pipeline_from_html",
+        "q8_extract_only",
         "q9_pipeline_with_substring",
     }
     total = round(sum(v for k, v in timings.items() if k not in _extra), 3)
@@ -280,7 +389,9 @@ def main() -> None:
         "clustered_rows_q1": n_clustered,
         "cpus": cpus,
         "config": CFG.config_id,
+        "q8_stage_walls": q8_stages,
         "q9_stage_walls": q9_stages,
+        "recall_at_sf": recall,
         "runs": runs_detail,
         # medians are the headline (comparable across rounds); the
         # per-query best is the contention floor on this shared box —

@@ -122,11 +122,79 @@ def fp_stage_job(spark, corpus: str) -> int:
     )
 
 
-def one_run(cpus: int, corpus: str, gen_if_missing: bool = False) -> tuple[float, float, int]:
+def _rest_group_metrics(spark, group: str) -> dict:
+    """Aggregate executor metrics for every stage of the jobs in
+    ``group``, via the Spark UI REST API (the Python status tracker
+    exposes no byte counters).  This is the shuffle-byte evidence the
+    scaling argument needs (VERDICT r3 #4): if shuffled bytes/doc stay
+    constant across parallelism levels and corpus sizes while e2e
+    efficiency sits below the raw-CPU ceiling, the non-scaling share
+    is exchange bandwidth — a per-node resource a real cluster
+    multiplies and a single box cannot."""
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+
+    def get(path: str):
+        with urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app_id}/{path}", timeout=15
+        ) as r:
+            return json.load(r)
+
+    try:
+        jobs = get("jobs")
+        stage_ids = {
+            sid
+            for j in jobs
+            if j.get("jobGroup") == group
+            for sid in j.get("stageIds", [])
+        }
+        stages = get("stages?status=complete")
+    except OSError as exc:  # UI disabled / request failed: report, don't fail the bench
+        return {"error": str(exc)}
+    tot = {
+        "shuffle_read_mb": 0.0,
+        "shuffle_write_mb": 0.0,
+        "input_mb": 0.0,
+        "output_mb": 0.0,
+        "executor_run_s": 0.0,
+        "n_stages": 0,
+    }
+    top: list[dict] = []
+    mb = 1024 * 1024
+    for s in stages:
+        if s.get("stageId") not in stage_ids:
+            continue
+        tot["shuffle_read_mb"] += s.get("shuffleReadBytes", 0) / mb
+        tot["shuffle_write_mb"] += s.get("shuffleWriteBytes", 0) / mb
+        tot["input_mb"] += s.get("inputBytes", 0) / mb
+        tot["output_mb"] += s.get("outputBytes", 0) / mb
+        tot["executor_run_s"] += s.get("executorRunTime", 0) / 1000.0
+        tot["n_stages"] += 1
+        top.append(
+            {
+                "stage": s.get("stageId"),
+                "name": (s.get("name") or "")[:60],
+                "shuffle_read_mb": round(s.get("shuffleReadBytes", 0) / mb, 1),
+                "shuffle_write_mb": round(s.get("shuffleWriteBytes", 0) / mb, 1),
+                "executor_run_s": round(s.get("executorRunTime", 0) / 1000.0, 1),
+            }
+        )
+    top.sort(key=lambda d: -(d["shuffle_read_mb"] + d["shuffle_write_mb"]))
+    return {**{k: round(v, 1) for k, v in tot.items()}, "top_shuffle_stages": top[:6]}
+
+
+def one_run(cpus: int, corpus: str, gen_if_missing: bool = False) -> tuple[float, float, int, dict]:
     """Fresh session, one warm-up, one timed e2e run + one timed
-    fingerprint-stage run."""
+    fingerprint-stage run.  The timed e2e run executes inside a unique
+    job group so its per-stage shuffle bytes can be read back from the
+    REST API afterwards."""
     extra = {
         "spark.ui.showConsoleProgress": "false",
+        # UI on (port auto-probes from 4040): sole consumer is the REST
+        # read-back of per-stage shuffle bytes after the timed run
+        "spark.ui.enabled": "true",
         # finer scan splits than the 128MB default: the 96-file corpus
         # otherwise packs into ~6-8 splits, i.e. a SINGLE task wave at
         # local[8] where one straggler extends the whole stage.  16MB
@@ -151,14 +219,19 @@ def one_run(cpus: int, corpus: str, gen_if_missing: bool = False) -> tuple[float
             spark, N_DOCS, partitions=CORPUS_FILES, tok_scale=TOK_SCALE
         ).write.mode("overwrite").parquet(corpus)
     dedup_job(spark, corpus)  # warm-up (JVM, Arrow workers, code paths)
+    sc = spark.sparkContext
+    group = f"e2e-timed-{cpus}"
+    sc.setJobGroup(group, "timed e2e dedup run")
     t0 = time.monotonic()
     rows = dedup_job(spark, corpus)
     dt = round(time.monotonic() - t0, 2)
+    sc.setLocalProperty("spark.jobGroup.id", None)
+    shuffle = _rest_group_metrics(spark, group)
     t1 = time.monotonic()
     fp_stage_job(spark, corpus)
     fp_dt = round(time.monotonic() - t1, 2)
     spark.stop()
-    return dt, fp_dt, rows
+    return dt, fp_dt, rows, shuffle
 
 
 def cpu_calibration() -> dict:
@@ -253,14 +326,16 @@ def main() -> None:
     # interleave levels (ABAB...) so host-load drift hits both equally
     times: dict[int, list[float]] = {N_LOW: [], N_HIGH: []}
     fp_times: dict[int, list[float]] = {N_LOW: [], N_HIGH: []}
+    shuffles: dict[int, dict] = {}
     rows = 0
     first = True
     for _ in range(RUNS):
         for cpus in (N_LOW, N_HIGH):
-            dt, fp_dt, rows = one_run(cpus, corpus, gen_if_missing=first)
+            dt, fp_dt, rows, shuffle = one_run(cpus, corpus, gen_if_missing=first)
             first = False
             times[cpus].append(dt)
             fp_times[cpus].append(fp_dt)
+            shuffles[cpus] = shuffle  # byte totals are load-independent; last run suffices
     calib = cpu_calibration()
     calib["raw_efficiency_begin"] = calib_begin["raw_efficiency"]
 
@@ -276,6 +351,21 @@ def main() -> None:
                 N_DOCS / statistics.median(fp_times[cpus]), 1
             ),
             "clustered_rows": rows,
+            "shuffle": shuffles.get(cpus, {}),
+            "shuffle_bytes_per_doc": (
+                round(
+                    (
+                        shuffles[cpus].get("shuffle_read_mb", 0)
+                        + shuffles[cpus].get("shuffle_write_mb", 0)
+                    )
+                    * 1024
+                    * 1024
+                    / N_DOCS,
+                    1,
+                )
+                if cpus in shuffles and "error" not in shuffles[cpus]
+                else None
+            ),
         }
 
     low, high = level(N_LOW), level(N_HIGH)

@@ -84,6 +84,10 @@ def _decode_ppm(b: bytes) -> np.ndarray:
         i = j
     i += 1  # exactly one whitespace byte separates maxval from raster
     w, h, maxval = tokens
+    if w <= 0 or h <= 0:
+        # a '-3' or '0' dimension parses as an int; reject loudly
+        # rather than hand numpy a negative count / empty raster
+        raise ValueError(f"invalid PPM dimensions {w}x{h}")
     if not (0 < maxval < 256):
         raise ValueError(f"unsupported PPM maxval {maxval}")
     n = w * h * 3
@@ -105,6 +109,10 @@ def _decode_bmp(b: bytes) -> np.ndarray:
     comp = int.from_bytes(b[30:34], "little")
     if comp != 0 or bpp not in (24, 32) or w <= 0 or h == 0:
         raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    if off < 54:
+        # pixel offset inside the 14+40-byte header region: decoding
+        # from there would return header bytes as pixels, silently wrong
+        raise ValueError(f"BMP pixel offset {off} overlaps header")
     bottom_up, h = h > 0, abs(h)
     ch = bpp // 8
     row_bytes = (w * ch + 3) & ~3

@@ -165,3 +165,105 @@ def test_extract_features_real_decoder(spark, rgb_px):
     assert got["m://x.bmp"]["features"] == pytest.approx(want)
     assert got["m://x.png"]["features"] is None   # quarantined, not thrown
     assert got["m://x.mp3"]["features"] is None
+
+
+def test_decoders_adversarial_headers(rgb_px):
+    """Table-driven adversarial byte layouts (VERDICT r3 #7): every
+    case must either decode to exactly the right pixel array or raise
+    ValueError (quarantine) / NotImplementedError (no decoder) —
+    never return a wrong or degenerate pixel array.  Covers
+    comment-laden PPM headers, maxval edges, zero/negative dims,
+    top-down and 4-byte-aligned odd-width BMPs, header-overlapping
+    pixel offsets, truncations, and random garbage."""
+    import struct
+
+    def ppm_hdr(w, h, maxval, body: bytes, pre=b"\n") -> bytes:
+        return f"P6".encode() + pre + f"{w} {h}\n{maxval}\n".encode() + body
+
+    px = rgb_px  # 5x7x3
+    body = px.tobytes()
+    one = np.full((1, 1, 3), 200, dtype=np.uint8)
+
+    ok_cases = [
+        # (bytes, expected array)
+        (_ppm_bytes(px), px),
+        (_ppm_bytes(px, comment=True), px),
+        # multiple comments + mixed whitespace between every token
+        (b"P6 # c1\n#c2\n 7\t5 # mid comment\n\n255\n" + body, px),
+        # CR / TAB as the single post-maxval whitespace byte
+        (b"P6\n7 5\n255\t" + body, px),
+        # maxval edge 255 explicit and minimal maxval 1
+        (ppm_hdr(7, 5, 255, body), px),
+        (ppm_hdr(1, 1, 1, bytes([1, 0, 1])), np.array([[[1, 0, 1]]], np.uint8)),
+        # trailing junk after a complete raster is ignored
+        (_ppm_bytes(px) + b"JUNK", px),
+        (_bmp_bytes(px), px),
+        (_bmp_bytes(px, top_down=True), px),
+        (_bmp_bytes(px, bpp=32), px),
+        (_bmp_bytes(one), one),  # w=1: 3 pixel bytes + 1 pad byte/row
+        (_bmp_bytes(px[:, :6]), px[:, :6]),  # w=6: 18 bytes, 2 pad
+        (_bmp_bytes(px[:, :4]), px[:, :4]),  # w=4: 12 bytes, no pad
+    ]
+    for raw, want in ok_cases:
+        got = decode_media(raw, "image")
+        assert got.dtype == np.uint8 and got.shape == want.shape
+        assert np.array_equal(got, want), raw[:24]
+
+    bad_cases = [
+        ppm_hdr(0, 5, 255, body),              # zero width
+        ppm_hdr(7, 0, 255, body),              # zero height
+        ppm_hdr(-7, 5, 255, body),             # negative width parses as int
+        ppm_hdr(7, -5, 255, body),             # negative height
+        ppm_hdr(7, 5, 0, body),                # maxval 0
+        ppm_hdr(7, 5, 256, body),              # 2-byte-sample maxval
+        ppm_hdr(7, 5, 65535, body),            # way out of range
+        b"P6\n7 5\n255\n",                     # header only, empty raster
+        _ppm_bytes(px)[:-1],                   # 1 byte short
+        b"P6\n#only comments forever",         # header never completes
+        b"P6\n7 x\n255\n" + body,              # non-numeric token
+        b"P3\n7 5\n255\n" + body,              # ASCII PPM (unsupported)
+        _bmp_with_offset(px, 0),               # pixel offset 0 = header bytes as pixels
+        _bmp_with_offset(px, 14),              # offset inside DIB header
+        _bmp_with_offset(px, 53),              # one short of the header end
+        _bmp_bytes(px)[:-3],                   # truncated raster
+        _bmp_bytes(px)[:20],                   # truncated header
+        _bmp_hacked(px, 28, struct.pack("<H", 8)),   # 8bpp palette
+        _bmp_hacked(px, 28, struct.pack("<H", 16)),  # 16bpp
+        _bmp_hacked(px, 30, struct.pack("<I", 3)),   # BI_BITFIELDS
+        _bmp_hacked(px, 18, struct.pack("<i", 0)),   # zero width
+        _bmp_hacked(px, 18, struct.pack("<i", -7)),  # negative width
+        _bmp_hacked(px, 22, struct.pack("<i", 0)),   # zero height
+        _bmp_hacked(px, 18, struct.pack("<i", 1 << 28)),  # absurd width -> truncated
+    ]
+    for raw in bad_cases:
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_media(raw, "image")
+
+    # random garbage fuzz: forged magic + noise must never return an array
+    rng = np.random.Generator(np.random.PCG64(99))
+    for magic in (b"P6", b"BM"):
+        for n in (2, 7, 40, 200):
+            raw = magic + rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+            try:
+                got = decode_media(raw, "image")
+            except (ValueError, NotImplementedError, OverflowError):
+                continue
+            # if it decoded, the raster must be fully consistent:
+            # non-degenerate uint8 pixels that fit inside the buffer
+            assert got.dtype == np.uint8 and got.ndim == 3 and got.shape[2] == 3
+            assert got.shape[0] > 0 and got.shape[1] > 0
+            assert got.size <= len(raw) * 4 / 3 + 64
+
+
+def _bmp_with_offset(px, off: int) -> bytes:
+    import struct
+
+    raw = bytearray(_bmp_bytes(px))
+    raw[10:14] = struct.pack("<I", off)
+    return bytes(raw)
+
+
+def _bmp_hacked(px, at: int, patch: bytes) -> bytes:
+    raw = bytearray(_bmp_bytes(px))
+    raw[at : at + len(patch)] = patch
+    return bytes(raw)

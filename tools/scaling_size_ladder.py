@@ -72,6 +72,12 @@ def _row(r: dict) -> dict:
         "high_runs_s": r["high"]["times_s"],
         "calibration": r["cpu_calibration"],
         "clustered_rows": r["low"]["clustered_rows"],
+        # per-stage shuffle bytes (REST read-back of the timed run):
+        # the exchange-bandwidth evidence for the scaling argument
+        "shuffle_low": r["low"].get("shuffle"),
+        "shuffle_high": r["high"].get("shuffle"),
+        "shuffle_bytes_per_doc_low": r["low"].get("shuffle_bytes_per_doc"),
+        "shuffle_bytes_per_doc_high": r["high"].get("shuffle_bytes_per_doc"),
     }
 
 
