@@ -1164,6 +1164,72 @@ def q_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score(docs, uni, bi)
 
 
+def _snapshot_table_ops(spark: SparkSession, sf_dir: str):
+    """Shared driver for both snapshot queries: build a SnapshotTable
+    (sources/snapshots.py — the Iceberg-shaped versioned store) from
+    ``documents`` and run the reference's write ops against it:
+    overwrite (v1), MERGE upsert+insert (v2, dupedb.py:278-294 /
+    413-438 semantics), copy-on-write delete (v3, the trash sink), and
+    rollback to v2 (v4, compare.py:377-380's undo).  All content is
+    derived deterministically from doc_id, so DuckDB can replay the
+    head/history algebraically from the source table."""
+    import atexit
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from deduplicator_spark.sources.snapshots import SnapshotTable
+
+    path = os.path.join(tempfile.gettempdir(), "dedup-snap", _uuid.uuid4().hex)
+    atexit.register(shutil.rmtree, os.path.dirname(path), ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    t = SnapshotTable(spark, path)
+    t.overwrite(docs)  # v1
+    updates = docs.where(F.pmod("doc_id", F.lit(7)) == 0).withColumn(
+        "text", F.concat("text", F.lit(" [v2]"))
+    )
+    inserts = docs.where(F.pmod("doc_id", F.lit(11)) == 3).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        F.lit("xx").alias("lang"),
+        "text",
+    )
+    t.merge(updates.unionByName(inserts), key="doc_id")  # v2
+    t.delete_where(F.col("lang") == "en")  # v3
+    t.rollback(2)  # v4
+    return t
+
+
+def q_snapshot_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head read after the MERGE/delete/rollback sequence (== v2
+    content): per-lang doc counts + char sums, sensing both the
+    upserted text suffix and the inserted 'xx' rows."""
+    t = _snapshot_table_ops(spark, sf_dir)
+    return (
+        t.read()
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version history + an independent time-travel recount of every
+    retained version (read_rows re-scans the version's files; it must
+    equal the manifest's footer-derived n_rows)."""
+    t = _snapshot_table_ops(spark, sf_dir)
+    hist = t.history().orderBy("version").collect()
+    rows = [
+        (r["version"], r["op"], r["n_rows"], t.read(r["version"]).count())
+        for r in hist
+    ]
+    return spark.createDataFrame(
+        rows, "version int, op string, n_rows long, read_rows long"
+    )
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -1189,11 +1255,12 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration ORDER is load-bearing: the driver gates the FIRST 50
     entries each round.  Round-4 window = the 11 queries never driver-
-    sampled in r2/r3 (registered first), then 39 two-round-stable ones.
-    Past position 50 sit queries that already hold a driver-green row:
-    nine green in both r2+r3, ``soft_dedup_*`` (r3), ``cdc_chunks`` /
-    ``dedup_tiers`` (r2) — so across r2-r4 every registered query has
-    at least one driver-green correctness record."""
+    sampled in r2/r3 (registered first), the 2 snapshot-table queries
+    new this round, then 37 two-round-stable ones.  Past position 50
+    sit queries that already hold a driver-green row: eleven green in
+    both r2+r3, ``soft_dedup_*`` (r3), ``cdc_chunks`` / ``dedup_tiers``
+    (r2) — so across r2-r4 every registered query has at least one
+    driver-green correctness record."""
     return {
         # -- never driver-sampled before round 4 (positions 1-11) --
         "cdc_dup_stats": q_cdc_dup_stats,
@@ -1207,7 +1274,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tier_summary": q_tier_summary,
         "tier_char_savings": q_tier_char_savings,
         "media_decoded_features": q_media_decoded_features,
-        # -- two-round-stable fill (positions 12-50) --
+        # -- new in round 4 (positions 12-13) --
+        "snapshot_merge_read": q_snapshot_merge_read,
+        "snapshot_history": q_snapshot_history,
+        # -- two-round-stable fill (positions 14-50) --
         "exact_dup_clusters": q_exact_dup_clusters,
         "prefix_fp_clusters": q_prefix_fp_clusters,
         "prefix_canonical": q_prefix_canonical,
@@ -1222,8 +1292,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality_filter": q_gopher_quality_filter,
         "contamination_check": q_contamination_check,
         "doc_fingerprints": q_doc_fingerprints,
-        "rolling_fingerprints": q_rolling_fingerprints,
-        "embedding_cosine_topk": q_embedding_cosine_topk,
         "minhash_near_dup_pairs": q_minhash_near_dup_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "cross_snapshot_pairs": q_cross_snapshot_pairs,
@@ -1248,6 +1316,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_snapshot_per_url": q_latest_snapshot,
         "lm_doc_scores": q_lm_doc_scores,
         # -- past the 50-window: already hold a driver-green row --
+        "rolling_fingerprints": q_rolling_fingerprints,
+        "embedding_cosine_topk": q_embedding_cosine_topk,
         "quality_scores": q_quality_scores,
         "lang_id_counts": q_lang_id_counts,
         "token_stats_by_lang": q_token_stats_by_lang,
@@ -1427,6 +1497,44 @@ def oracle_sql() -> dict[str, str]:
     lang_case += "ELSE 'und' END"
 
     out = {
+        # SnapshotTable MERGE/time-travel (sources/snapshots.py): the
+        # oracle replays the v2 head and the 4-version history
+        # algebraically from `documents` — upserts append ' [v2]' to
+        # doc_id%7=0 texts, inserts add doc_id%11=3 rows under lang
+        # 'xx', delete removes lang='en', rollback restores v2.
+        "snapshot_merge_read": """
+            WITH head AS (
+              SELECT doc_id, lang,
+                     CASE WHEN doc_id % 7 = 0 THEN text || ' [v2]'
+                          ELSE text END AS text
+              FROM documents
+              UNION ALL
+              SELECT doc_id + 10000000, 'xx', text
+              FROM documents WHERE doc_id % 11 = 3
+            )
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars
+            FROM head GROUP BY lang ORDER BY lang
+        """,
+        "snapshot_history": """
+            WITH b AS (SELECT COUNT(*) AS n FROM documents),
+                 i AS (SELECT COUNT(*) AS n FROM documents WHERE doc_id % 11 = 3),
+                 e AS (SELECT COUNT(*) AS n FROM documents WHERE lang = 'en')
+            SELECT CAST(version AS INTEGER) AS version, op,
+                   CAST(n_rows AS BIGINT) AS n_rows,
+                   CAST(n_rows AS BIGINT) AS read_rows
+            FROM (
+              SELECT 1 AS version, 'overwrite' AS op,
+                     (SELECT n FROM b) AS n_rows
+              UNION ALL SELECT 2, 'merge',
+                     (SELECT n FROM b) + (SELECT n FROM i)
+              UNION ALL SELECT 3, 'delete',
+                     (SELECT n FROM b) + (SELECT n FROM i) - (SELECT n FROM e)
+              UNION ALL SELECT 4, 'rollback:2',
+                     (SELECT n FROM b) + (SELECT n FROM i)
+            ) ORDER BY version
+        """,
         "exact_dup_clusters": """
             WITH docs AS (
               SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents

@@ -7,6 +7,7 @@ from deduplicator_spark.sources.pages import (
 )
 from deduplicator_spark.sources.loaders import load_table, load_documents_as_pages
 from deduplicator_spark.sources.extract import extract_text
+from deduplicator_spark.sources.snapshots import SnapshotConflict, SnapshotTable
 from deduplicator_spark.sources.shards import (
     pack_manifest,
     sample_bucket,
@@ -31,4 +32,6 @@ __all__ = [
     "load_table",
     "load_documents_as_pages",
     "extract_text",
+    "SnapshotConflict",
+    "SnapshotTable",
 ]
