@@ -139,10 +139,10 @@ def span_dedup(
     url_type = pages.schema["url"].dataType
 
     winnow = make_winnow_udf(cfg)
-    anchors = (
-        pages.select("url", text_col)
-        .select("url", F.explode(winnow(F.col(text_col))).alias("anchor"))
-        .dropDuplicates(["url", "anchor"])
+    # (url, anchor) is distinct by construction — the winnow UDF
+    # np.unique's anchors per doc (see substring_pairs)
+    anchors = pages.select("url", text_col).select(
+        "url", F.explode(winnow(F.col(text_col))).alias("anchor")
     )
     # overcap="star": span removal is a COVERAGE consumer — every doc
     # in a hot anchor bucket (exactly the boilerplate case span removal

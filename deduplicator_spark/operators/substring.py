@@ -142,14 +142,17 @@ def _prefix_hash(x: np.ndarray) -> np.ndarray:
     pw, _ = _powers(len(x))
     p = np.empty(len(x) + 1, dtype=_U64)
     p[0] = 0
-    with np.errstate(over="ignore"):
-        np.cumsum(x.astype(_U64) * pw[: len(x)], out=p[1:])
+    # array ops wrap silently — no errstate needed (see _gram_hashes)
+    np.cumsum(x.astype(_U64) * pw[: len(x)], out=p[1:])
     return p
 
 
 def _gram_hashes(p: np.ndarray, pinv: np.ndarray, n: int, L: int) -> np.ndarray:
-    with np.errstate(over="ignore"):
-        return (p[L : n + 1] - p[: n - L + 1]) * pinv[: n - L + 1]
+    # no errstate: numpy integer ARRAY arithmetic wraps silently (only
+    # scalar ops route through seterr), and the context-manager entry
+    # cost (~6 us) was 20% of the whole verify stage at one call per
+    # binary-search probe
+    return (p[L : n + 1] - p[: n - L + 1]) * pinv[: n - L + 1]
 
 
 class _ASideHasher:
@@ -212,17 +215,29 @@ def lcs_len_fast(
     def exists(L: int) -> bool | None:
         ha_sorted, order = a_state.grams(L)
         hb = _gram_hashes(pb, pinv, nb, L)
-        ub, ib = np.unique(hb, return_index=True)
-        pos = np.searchsorted(ha_sorted, ub)
+        # probe RAW hb against the sorted a-side — searchsorted needs
+        # only ONE side sorted, and the old np.unique(hb) sort per
+        # probe was 32% of the verify stage (profiled at sf0.1)
+        pos = np.searchsorted(ha_sorted, hb)
         pos_c = np.minimum(pos, len(ha_sorted) - 1)
-        hit = (pos < len(ha_sorted)) & (ha_sorted[pos_c] == ub)
-        if not hit.any():
+        hit = (pos < len(ha_sorted)) & (ha_sorted[pos_c] == hb)
+        nhits = int(np.count_nonzero(hit))
+        if nhits == 0:
             return False
         ia = order[pos_c[hit]]
-        ibh = ib[hit]
+        ibh = np.flatnonzero(hit)
         offs = np.arange(L)
-        ok = (xa[ia[:, None] + offs] == xb[ibh[:, None] + offs]).all(axis=1)
-        return True if bool(ok.any()) else None
+        # byte-confirm in chunks with early exit: a true match confirms
+        # in the first chunk; the full sweep runs only on the 2^-64
+        # all-collision path (duplicate hb values are then re-checked,
+        # which is harmless — the answer is still None-or-True)
+        for s0 in range(0, nhits, 128):
+            ia_c = ia[s0 : s0 + 128]
+            ib_c = ibh[s0 : s0 + 128]
+            ok = (xa[ia_c[:, None] + offs] == xb[ib_c[:, None] + offs]).all(axis=1)
+            if ok.any():
+                return True
+        return None
 
     lo, hi = 0, min(na, nb)
     while lo < hi:
@@ -301,10 +316,11 @@ def substring_pairs(
 
     max_bucket = max_bucket or cfg.max_band_bucket
     winnow = make_winnow_udf(cfg)
-    anchors = (
-        pages.select("url", text_col)
-        .select("url", F.explode(winnow(F.col(text_col))).alias("anchor"))
-        .dropDuplicates(["url", "anchor"])
+    # no dropDuplicates: the winnow UDF emits np.unique'd anchors per
+    # doc, so (url, anchor) is distinct by construction — deduping here
+    # re-shuffled the whole anchor frame for nothing
+    anchors = pages.select("url", text_col).select(
+        "url", F.explode(winnow(F.col(text_col))).alias("anchor")
     )
     # same skew-shaped expansion as the LSH band join: hot anchors
     # (boilerplate substrings) are counted first, capped with audit,
