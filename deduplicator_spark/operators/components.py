@@ -64,11 +64,18 @@ def connected_components(
     8-byte surrogate ids, skew was handled at candidate generation,
     and the label/edge frames shrink monotonically.
 
+    ``spark.sql.shuffle.partitions`` is ALSO scoped down for the loop
+    (restored with AQE): the post-verify edge graph is orders of
+    magnitude smaller than the corpus, and corpus-width shuffles made
+    each iteration a task-scheduling floor (measured 3.5s/iteration at
+    128 partitions / 32 cores for a 232k-row graph; ~1s after).
+
     BLAST RADIUS (session-global, documented per VERDICT/ADVICE r3):
-    Spark exposes no per-query conf, so the toggle mutates the SHARED
+    Spark exposes no per-query conf, so both toggles mutate the SHARED
     session conf — any query running concurrently on the same
     SparkSession during the loop silently loses AQE (including the
-    skew-join handling ``build_session`` turns on) until the restore.
+    skew-join handling ``build_session`` turns on) and runs at the
+    narrowed shuffle width until the restore.
     A module lock serializes overlapping ``connected_components``
     calls so the restore itself can't race, but it cannot shield
     unrelated concurrent queries.  The driver contract here is
@@ -78,11 +85,13 @@ def connected_components(
     spark = edges.sparkSession
     with _AQE_TOGGLE_LOCK:
         aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        parts_before = spark.conf.get("spark.sql.shuffle.partitions", "200")
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         try:
             return _cc_loop(edges, src, dst, max_iter)
         finally:
             spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+            spark.conf.set("spark.sql.shuffle.partitions", parts_before)
 
 
 def _cc_loop(
@@ -91,15 +100,29 @@ def _cc_loop(
     dst: str,
     max_iter: int,
 ) -> DataFrame:
+    spark = edges.sparkSession
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
-        # lazy: materialized (and cached) by iteration 1's convergence
-        # count — an eager checkpoint here would be one more job, and
-        # per-job overhead is the measured scaling floor of this chain
         .localCheckpoint(eager=False)
     )
+    # ONE eager count materializes sym AND tells us the graph size, so
+    # the loop's shuffle width can match the LABEL FRAME, not the
+    # corpus: the edge set after verification is orders of magnitude
+    # smaller than the input (50k web docs -> 232k sym rows), and with
+    # AQE off every iteration otherwise runs join+agg+join at the
+    # session's corpus-sized spark.sql.shuffle.partitions — measured
+    # 3.5s/iteration of pure task-scheduling floor at 128 partitions /
+    # 32 cores for microseconds of real per-task work.  ~200k rows per
+    # partition, never fewer than 8, never more than the session
+    # setting (a 10^11-edge graph keeps the configured width).
+    # Restored by connected_components' finally, same blast-radius
+    # contract as the AQE toggle.
+    n_sym = sym.count()
+    parts_before = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    n_parts = max(8, min(parts_before, n_sym // 200_000 + 8))
+    spark.conf.set("spark.sql.shuffle.partitions", n_parts)
     # seed labels with round 1's propagation for free: label0(v) =
     # min(v, min neighbor) is exactly one hash-to-min round over
     # identity labels, computed in the same aggregation that would

@@ -79,8 +79,11 @@ def test_chain_job_count_bounded(spark, cfg, small_pages):
 
 def test_cc_job_count_scales_with_rounds_not_edges(spark):
     # a simple pair graph: CC should converge in ONE counted round
-    # (labels are seeded with the neighbor-min propagation) — 2 jobs
-    # observed (round-1 count + final count); ceiling covers AQE noise
+    # (labels are seeded with the neighbor-min propagation) — 3 jobs
+    # observed (sym materialize+size count — which sizes the loop's
+    # shuffle width to the graph, one job that removes ~5/6 of the
+    # loop's tasks — plus round-1 count + final count); ceiling covers
+    # AQE noise
     edges = spark.createDataFrame(
         [(f"u{i:03d}", f"v{i:03d}") for i in range(50)], ["url_a", "url_b"]
     )
@@ -88,4 +91,4 @@ def test_cc_job_count_scales_with_rounds_not_edges(spark):
     n_jobs = _job_count(
         spark, lambda: clusters_from_pairs(edges, min_size=2).count()
     )
-    assert n_jobs <= 6, f"pair-graph CC launched {n_jobs} jobs (ceiling 6)"
+    assert n_jobs <= 7, f"pair-graph CC launched {n_jobs} jobs (ceiling 7)"
