@@ -1164,15 +1164,28 @@ def q_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score(docs, uni, bi)
 
 
-def _snapshot_table_ops(spark: SparkSession, sf_dir: str):
-    """Shared driver for both snapshot queries: build a SnapshotTable
+#: memoized (id(spark), sf_dir) -> SnapshotTable so the read-only
+#: snapshot queries share ONE 4-version build instead of re-running the
+#: 5 parquet writes per query (ADVICE r4 #5).
+_SNAP_CACHE: dict[tuple[int, str], object] = {}
+
+
+def _snapshot_table_ops(spark: SparkSession, sf_dir: str, fresh: bool = False):
+    """Shared driver for the snapshot queries: build a SnapshotTable
     (sources/snapshots.py — the Iceberg-shaped versioned store) from
     ``documents`` and run the reference's write ops against it:
     overwrite (v1), MERGE upsert+insert (v2, dupedb.py:278-294 /
     413-438 semantics), copy-on-write delete (v3, the trash sink), and
     rollback to v2 (v4, compare.py:377-380's undo).  All content is
     derived deterministically from doc_id, so DuckDB can replay the
-    head/history algebraically from the source table."""
+    head/history algebraically from the source table.
+
+    ``fresh=True`` builds a private table (for queries that MUTATE it,
+    e.g. snapshot expiry) so the memoized shared one stays at its
+    4-version shape for whichever query runs next.  The atexit cleanup
+    is registered on this process's own uuid directory — never the
+    shared temp parent, which other live processes may be using
+    (ADVICE r4 #5)."""
     import atexit
     import shutil
     import tempfile
@@ -1180,8 +1193,11 @@ def _snapshot_table_ops(spark: SparkSession, sf_dir: str):
 
     from deduplicator_spark.sources.snapshots import SnapshotTable
 
+    cache_key = (id(spark), sf_dir)
+    if not fresh and cache_key in _SNAP_CACHE:
+        return _SNAP_CACHE[cache_key]
     path = os.path.join(tempfile.gettempdir(), "dedup-snap", _uuid.uuid4().hex)
-    atexit.register(shutil.rmtree, os.path.dirname(path), ignore_errors=True)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     t = SnapshotTable(spark, path)
     t.overwrite(docs)  # v1
@@ -1196,6 +1212,8 @@ def _snapshot_table_ops(spark: SparkSession, sf_dir: str):
     t.merge(updates.unionByName(inserts), key="doc_id")  # v2
     t.delete_where(F.col("lang") == "en")  # v3
     t.rollback(2)  # v4
+    if not fresh:
+        _SNAP_CACHE[cache_key] = t
     return t
 
 
@@ -1230,6 +1248,40 @@ def q_snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot expiry + GC (the reference's prune, `dupedb.py:395-411`):
+    on a private 4-version table, ``expire_snapshots(keep_last=2)``
+    must drop the v1/v2 manifests, physically remove every data file
+    only they referenced (asserted: > 0 files GC'd), and leave the
+    head read byte-for-byte intact (asserted against a pre-expiry
+    collect; also re-counted from the post-GC files via read_rows).
+    Returns the retained history — versions 3 (delete) and 4
+    (rollback:2) — which DuckDB replays algebraically."""
+    t = _snapshot_table_ops(spark, sf_dir, fresh=True)
+    head_before = sorted(
+        (r["lang"], r["n"]) for r in
+        t.read().groupBy("lang").agg(F.count("*").alias("n")).collect()
+    )
+    removed = t.expire_snapshots(keep_last=2)
+    if removed <= 0:
+        raise AssertionError("expire_snapshots GC'd no files on a 4-version table")
+    if t.versions() != [3, 4]:
+        raise AssertionError(f"expected retained versions [3, 4], got {t.versions()}")
+    head_after = sorted(
+        (r["lang"], r["n"]) for r in
+        t.read().groupBy("lang").agg(F.count("*").alias("n")).collect()
+    )
+    if head_after != head_before:
+        raise AssertionError("head content changed across snapshot expiry")
+    rows = [
+        (r["version"], r["op"], r["n_rows"], t.read(r["version"]).count())
+        for r in t.history().orderBy("version").collect()
+    ]
+    return spark.createDataFrame(
+        rows, "version int, op string, n_rows long, read_rows long"
+    )
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -1253,71 +1305,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Registration ORDER is load-bearing: the driver gates the FIRST 50
-    entries each round.  Round-4 window = the 11 queries never driver-
-    sampled in r2/r3 (registered first), the 2 snapshot-table queries
-    new this round, then 37 two-round-stable ones.  Past position 50
-    sit queries that already hold a driver-green row: eleven green in
-    both r2+r3, ``soft_dedup_*`` (r3), ``cdc_chunks`` / ``dedup_tiers``
-    (r2) — so across r2-r4 every registered query has at least one
-    driver-green correctness record."""
+    """Registration ORDER follows a deterministic LRU rotation (ADVICE
+    r4 #4): the driver gates the first 50 entries each round, so we
+    register queries in ascending order of their LAST driver-green
+    round (recorded in the in-repo CORRECTNESS_r*.json history) —
+    never-sampled first, stalest-verified next, freshest-verified last.
+    No query is ever parked because it is known-green; the ones past
+    position 50 are exactly the ones checked most recently, and they
+    rotate back into the window as their verification ages.  Round-5
+    order: the 15 queries last gated in r2/r3 (stalest) + the new
+    ``snapshot_expire`` take positions 1-16; all 50 r4-green queries
+    tie on staleness, so positions 17-50 fill by functional grouping
+    with the 16 overflow being those ALSO green in r2/r3 (most
+    verification history)."""
     return {
-        # -- never driver-sampled before round 4 (positions 1-11) --
-        "cdc_dup_stats": q_cdc_dup_stats,
-        "dedup_eval": q_dedup_eval,
-        "bloom_membership": q_bloom_membership,
-        "token_quantiles": q_token_quantiles,
-        "ngram_containment_pairs": q_ngram_containment_pairs,
-        "snapshot_diff": q_snapshot_diff,
-        "assign_to_canonical": q_assign_to_canonical,
-        "incremental_cc": q_incremental_cc,
-        "tier_summary": q_tier_summary,
-        "tier_char_savings": q_tier_char_savings,
-        "media_decoded_features": q_media_decoded_features,
-        # -- new in round 4 (positions 12-13) --
-        "snapshot_merge_read": q_snapshot_merge_read,
-        "snapshot_history": q_snapshot_history,
-        # -- two-round-stable fill (positions 14-50) --
-        "exact_dup_clusters": q_exact_dup_clusters,
-        "prefix_fp_clusters": q_prefix_fp_clusters,
-        "prefix_canonical": q_prefix_canonical,
-        "cluster_size_histogram": q_cluster_size_histogram,
-        "incremental_scan": q_incremental_scan,
-        "purge_whitelist": q_purge_whitelist,
-        "duplicate_segments": q_duplicate_segments,
-        "ngram_repetition": q_ngram_repetition,
-        "boilerplate_segments": q_boilerplate_segments,
-        "event_window_dedup": q_event_window_dedup,
-        "url_canonical_dups": q_url_canonical_dups,
-        "gopher_quality_filter": q_gopher_quality_filter,
-        "contamination_check": q_contamination_check,
-        "doc_fingerprints": q_doc_fingerprints,
-        "minhash_near_dup_pairs": q_minhash_near_dup_pairs,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "cross_snapshot_pairs": q_cross_snapshot_pairs,
-        "near_dup_clusters": q_near_dup_clusters,
-        "near_dup_canonical": q_near_dup_canonical,
-        "simhash_candidates": q_simhash_candidates,
-        "ann_lsh_pairs": q_ann_lsh_pairs,
-        "ann_ivf_pairs": q_ann_ivf_pairs,
-        "pipeline_actions": q_pipeline_actions,
-        "undo_script": q_undo_script,
-        "dedup_savings": q_dedup_savings,
-        "alt_series_filter": q_alt_series_filter,
-        "substring_pairs": q_substring_pairs,
-        "span_dedup": q_span_dedup,
-        "segment_removal": q_segment_removal,
-        "stratified_sample": q_stratified_sample,
-        "media_features": q_media_features,
-        "semantic_prune": q_semantic_prune,
-        "domain_distinct_kmv": q_domain_distinct_kmv,
-        "lsh_tuning": q_lsh_tuning,
-        "normalized_exact_dups": q_normalized_exact_dups,
-        "latest_snapshot_per_url": q_latest_snapshot,
-        "lm_doc_scores": q_lm_doc_scores,
-        # -- past the 50-window: already hold a driver-green row --
-        "rolling_fingerprints": q_rolling_fingerprints,
-        "embedding_cosine_topk": q_embedding_cosine_topk,
+        # -- last driver-green in r2/r3: stalest, re-enter the window --
         "quality_scores": q_quality_scores,
         "lang_id_counts": q_lang_id_counts,
         "token_stats_by_lang": q_token_stats_by_lang,
@@ -1327,10 +1329,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_manifest": q_pack_manifest,
         "pii_report": q_pii_report,
         "top_tokens": q_top_tokens,
+        "rolling_fingerprints": q_rolling_fingerprints,
+        "embedding_cosine_topk": q_embedding_cosine_topk,
         "soft_dedup_weights": q_soft_dedup_weights,
         "soft_dedup_summary": q_soft_dedup_summary,
         "dedup_tiers": q_dedup_tiers,
         "cdc_chunks": q_cdc_chunks,
+        # -- new in round 5: never driver-sampled --
+        "snapshot_expire": q_snapshot_expire,
+        # -- r4-green tie, functional grouping: core dedup chain first --
+        "exact_dup_clusters": q_exact_dup_clusters,
+        "normalized_exact_dups": q_normalized_exact_dups,
+        "doc_fingerprints": q_doc_fingerprints,
+        "minhash_near_dup_pairs": q_minhash_near_dup_pairs,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "simhash_candidates": q_simhash_candidates,
+        "near_dup_clusters": q_near_dup_clusters,
+        "near_dup_canonical": q_near_dup_canonical,
+        "cluster_size_histogram": q_cluster_size_histogram,
+        "lsh_tuning": q_lsh_tuning,
+        "cross_snapshot_pairs": q_cross_snapshot_pairs,
+        "incremental_cc": q_incremental_cc,
+        "assign_to_canonical": q_assign_to_canonical,
+        "snapshot_diff": q_snapshot_diff,
+        "incremental_scan": q_incremental_scan,
+        "purge_whitelist": q_purge_whitelist,
+        # -- substring / segment / CDC tier --
+        "substring_pairs": q_substring_pairs,
+        "span_dedup": q_span_dedup,
+        "duplicate_segments": q_duplicate_segments,
+        "boilerplate_segments": q_boilerplate_segments,
+        "segment_removal": q_segment_removal,
+        "cdc_dup_stats": q_cdc_dup_stats,
+        "ngram_containment_pairs": q_ngram_containment_pairs,
+        "ngram_repetition": q_ngram_repetition,
+        # -- pipeline / sinks / versioned store --
+        "pipeline_actions": q_pipeline_actions,
+        "undo_script": q_undo_script,
+        "alt_series_filter": q_alt_series_filter,
+        "snapshot_merge_read": q_snapshot_merge_read,
+        "snapshot_history": q_snapshot_history,
+        "tier_summary": q_tier_summary,
+        "tier_char_savings": q_tier_char_savings,
+        # -- ANN / semantic / eval --
+        "ann_lsh_pairs": q_ann_lsh_pairs,
+        "ann_ivf_pairs": q_ann_ivf_pairs,
+        "semantic_prune": q_semantic_prune,
+        # -- past the 50-window this round: the most-recently AND
+        #    most-often verified (r4-green, most also r2/r3-green);
+        #    they rotate back in as their verification ages --
+        "dedup_eval": q_dedup_eval,
+        "dedup_savings": q_dedup_savings,
+        "stratified_sample": q_stratified_sample,
+        "media_features": q_media_features,
+        "media_decoded_features": q_media_decoded_features,
+        "domain_distinct_kmv": q_domain_distinct_kmv,
+        "latest_snapshot_per_url": q_latest_snapshot,
+        "lm_doc_scores": q_lm_doc_scores,
+        "event_window_dedup": q_event_window_dedup,
+        "url_canonical_dups": q_url_canonical_dups,
+        "gopher_quality_filter": q_gopher_quality_filter,
+        "contamination_check": q_contamination_check,
+        "bloom_membership": q_bloom_membership,
+        "token_quantiles": q_token_quantiles,
+        "prefix_fp_clusters": q_prefix_fp_clusters,
+        "prefix_canonical": q_prefix_canonical,
     }
 
 
@@ -1531,6 +1594,24 @@ def oracle_sql() -> dict[str, str]:
                      (SELECT n FROM b) + (SELECT n FROM i)
               UNION ALL SELECT 3, 'delete',
                      (SELECT n FROM b) + (SELECT n FROM i) - (SELECT n FROM e)
+              UNION ALL SELECT 4, 'rollback:2',
+                     (SELECT n FROM b) + (SELECT n FROM i)
+            ) ORDER BY version
+        """,
+        # After expire_snapshots(keep_last=2) only versions 3 and 4
+        # remain; their row counts replay algebraically (the GC-file
+        # and head-immutability invariants are asserted inside the
+        # Spark query itself — a violation raises, turning the row red).
+        "snapshot_expire": """
+            WITH b AS (SELECT COUNT(*) AS n FROM documents),
+                 i AS (SELECT COUNT(*) AS n FROM documents WHERE doc_id % 11 = 3),
+                 e AS (SELECT COUNT(*) AS n FROM documents WHERE lang = 'en')
+            SELECT CAST(version AS INTEGER) AS version, op,
+                   CAST(n_rows AS BIGINT) AS n_rows,
+                   CAST(n_rows AS BIGINT) AS read_rows
+            FROM (
+              SELECT 3 AS version, 'delete' AS op,
+                     (SELECT n FROM b) + (SELECT n FROM i) - (SELECT n FROM e) AS n_rows
               UNION ALL SELECT 4, 'rollback:2',
                      (SELECT n FROM b) + (SELECT n FROM i)
             ) ORDER BY version

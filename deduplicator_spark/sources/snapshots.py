@@ -25,19 +25,40 @@ Format (all commits atomic, all data files immutable):
 
     table_dir/
       _log/v00000001.json   one manifest per version:
-                            {version, parent, op, files[], n_rows}
+                            {version, parent, op, files[], n_rows,
+                             stats: {path: {rows, cols: {col: [lo,hi]}}}}
       data/<uuid>/part-*.parquet
 
-A manifest is committed with exclusive-create (``open(..., "x")``):
-two concurrent writers racing the same version number -> exactly one
-wins, the loser gets a loud ``SnapshotConflict`` (optimistic
-concurrency, the same contract Iceberg's catalog swap gives).
+A manifest is committed with exclusive-create (``open(..., "x")``)
+against ``parent + 1`` of the snapshot the write was COMPUTED from —
+not re-read at commit time, so a writer that raced past us collides on
+the manifest file and raises ``SnapshotConflict`` instead of silently
+reverting the other writer's rows (lost update).  This is the same
+optimistic-concurrency contract Iceberg's atomic catalog swap gives.
 
-Scale notes: MERGE here is copy-on-write of the FULL table (one
-distributed anti-join + union + parquet write — no driver-side data).
-Real Iceberg prunes the rewrite to files that contain matched keys;
-with a manifest-per-file min/max key index that optimization drops in
-here without changing the API, and the commit protocol is unchanged.
+MERGE is file-pruned copy-on-write: ``_write_files`` records per-file
+min/max of every primitive column (read from the parquet footers the
+row count already needs — no extra job), and ``merge`` rewrites ONLY
+the files whose key range intersects an actual source key (one
+broadcast range-join of the source keys against the file-stats rows,
+fully distributed); all other files are carried into the new manifest
+by reference.  A frequent small upsert against a 100 TB table then
+rewrites a handful of files, not the table — the Iceberg behavior the
+round-4 docstring promised.  Files with no usable stats for the key
+(old manifests, all-NULL key, non-orderable type) are conservatively
+rewritten, so the result is always exact.
+
+Cluster visibility: manifest and data-file bookkeeping run on the
+DRIVER against a plain filesystem path, and executors write parquet to
+the same scheme-less path.  That is only correct when both see one
+filesystem: a ``local[*]`` master, or a path the caller explicitly
+vouches for (NFS / fuse-mounted object store) via
+``assume_cluster_visible=True``.  On any other master the constructor
+refuses loudly — the silent alternative is executors committing task
+files to their own local disks and the driver's read-back returning
+partial tables (the exact failure mode ADVICE r3 flagged for
+`plans/chain.py`, fixed there by ``cluster_visible_ckpt``).
+
 Reads are plain ``spark.read.parquet(*files)`` — column pruning and
 predicate pushdown work exactly as for any parquet scan.
 """
@@ -51,6 +72,7 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class SnapshotConflict(RuntimeError):
@@ -58,8 +80,25 @@ class SnapshotConflict(RuntimeError):
     concurrency) — retry on the new head."""
 
 
+#: manifest stats only hold JSON-representable, order-comparable
+#: scalars; anything else (bytes, timestamps, nested) prunes nothing
+_STATKEY_TYPES = (int, float, str, bool)
+
+
 class SnapshotTable:
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(
+        self, spark: SparkSession, path: str, assume_cluster_visible: bool = False
+    ):
+        master = spark.sparkContext.master
+        if not master.startswith("local") and not assume_cluster_visible:
+            raise ValueError(
+                f"SnapshotTable at {path!r} on master {master!r}: manifests are "
+                "driver-local file I/O and data files are scheme-less paths, so "
+                "a non-local master needs a path every executor AND the driver "
+                "see as one filesystem (NFS / fuse object-store mount).  Pass "
+                "assume_cluster_visible=True to vouch for the path, or use a "
+                "local master."
+            )
         self.spark = spark
         self.path = path
         self.log_dir = os.path.join(path, "_log")
@@ -88,8 +127,20 @@ class SnapshotTable:
         with open(self._manifest_path(version)) as fh:
             return json.load(fh)
 
-    def _commit(self, files: list[str], op: str, n_rows: int) -> int:
-        parent = self.current_version()
+    def _commit(
+        self,
+        files: list[str],
+        op: str,
+        n_rows: int,
+        parent: int,
+        stats: dict | None = None,
+    ) -> int:
+        """Commit version ``parent + 1``.  ``parent`` is the version
+        this write was COMPUTED from (captured when the op read the
+        table), not re-read here — a concurrent commit of the same
+        version collides on the exclusive-create and raises, instead
+        of silently winning a later version number and dropping the
+        other writer's changes (ADVICE r4 #1)."""
         version = parent + 1
         manifest = {
             "version": version,
@@ -97,6 +148,7 @@ class SnapshotTable:
             "op": op,
             "files": sorted(files),
             "n_rows": n_rows,
+            "stats": stats or {},
             "ts": time.time(),
         }
         try:
@@ -108,9 +160,12 @@ class SnapshotTable:
             ) from exc
         return version
 
-    def _write_files(self, df: DataFrame) -> tuple[list[str], int]:
-        """One immutable parquet dir per write; returns (files, rows).
-        Row count comes free from the parquet footers (no extra job)."""
+    def _write_files(self, df: DataFrame) -> tuple[list[str], int, dict]:
+        """One immutable parquet dir per write; returns
+        (files, total_rows, per_file_stats).  Row counts AND per-column
+        min/max come free from the parquet footers (no extra job) —
+        the min/max index is what lets ``merge`` prune its rewrite to
+        the files a key can actually live in."""
         import pyarrow.parquet as pq
 
         out = os.path.join(self.data_dir, uuid.uuid4().hex)
@@ -118,56 +173,146 @@ class SnapshotTable:
         files = sorted(
             os.path.join(out, f) for f in os.listdir(out) if f.endswith(".parquet")
         )
-        n = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
-        return files, n
+        stats: dict[str, dict] = {}
+        total = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            total += md.num_rows
+            cols: dict[str, list] = {}
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            lo: dict[str, object] = {}
+            hi: dict[str, object] = {}
+            ok = set(names)
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    name = names[ci]
+                    if name not in ok:
+                        continue
+                    st = md.row_group(rg).column(ci).statistics
+                    if (
+                        st is None
+                        or not st.has_min_max
+                        or not isinstance(st.min, _STATKEY_TYPES)
+                        or not isinstance(st.max, _STATKEY_TYPES)
+                    ):
+                        ok.discard(name)
+                        continue
+                    lo[name] = st.min if name not in lo else min(lo[name], st.min)
+                    hi[name] = st.max if name not in hi else max(hi[name], st.max)
+            for name in ok:
+                if name in lo:
+                    cols[name] = [lo[name], hi[name]]
+            stats[f] = {"rows": md.num_rows, "cols": cols}
+        return files, total, stats
 
     # -- write ops ----------------------------------------------------------
 
     def append(self, df: DataFrame) -> int:
-        files, n = self._write_files(df)
-        prev = self.current_version()
-        prev_files = self._manifest(prev)["files"] if prev else []
-        prev_rows = self._manifest(prev)["n_rows"] if prev else 0
-        return self._commit(prev_files + files, "append", prev_rows + n)
+        parent = self.current_version()
+        files, n, stats = self._write_files(df)
+        prev = self._manifest(parent) if parent else {"files": [], "n_rows": 0, "stats": {}}
+        stats.update(prev.get("stats", {}))
+        return self._commit(
+            prev["files"] + files, "append", prev["n_rows"] + n, parent, stats
+        )
 
     def overwrite(self, df: DataFrame) -> int:
-        files, n = self._write_files(df)
-        return self._commit(files, "overwrite", n)
+        parent = self.current_version()
+        files, n, stats = self._write_files(df)
+        return self._commit(files, "overwrite", n, parent, stats)
+
+    def _pruned_rewrite_set(
+        self, manifest: dict, source: DataFrame, key: str
+    ) -> tuple[list[str], list[str]]:
+        """Split the parent snapshot's files into (rewrite, carry):
+        a file can be carried by reference iff its recorded [min,max]
+        range for ``key`` contains NO actual source key — then no row
+        of that file can match the MERGE condition.  The containment
+        test is one broadcast range-join of the distinct source keys
+        against the (tiny) file-stats rows: exact per-key, fully
+        distributed, never a collect of source data."""
+        ranged, rewrite = [], []
+        for f in manifest["files"]:
+            st = (manifest.get("stats", {}).get(f) or {}).get("cols", {}).get(key)
+            if st is None:
+                rewrite.append(f)  # no usable stats: conservative rewrite
+            else:
+                ranged.append((f, st[0], st[1]))
+        if not ranged:
+            return rewrite, []
+        src_keys = source.select(F.col(key).alias("__k")).where(
+            F.col("__k").isNotNull()
+        ).distinct()
+        fdf = self.spark.createDataFrame(ranged, ["__path", "__lo", "__hi"])
+        matched = {
+            r["__path"]
+            for r in src_keys.join(
+                F.broadcast(fdf),
+                (F.col("__k") >= F.col("__lo")) & (F.col("__k") <= F.col("__hi")),
+            )
+            .select("__path")
+            .distinct()
+            .collect()
+        }
+        carry = [f for f, _, _ in ranged if f not in matched]
+        rewrite += [f for f, _, _ in ranged if f in matched]
+        return rewrite, carry
 
     def merge(self, source: DataFrame, key: str | list[str]) -> int:
         """Upsert: rows of ``source`` replace same-key rows of the
         current snapshot; unmatched source rows are inserted.  The
         reference's whole-shelve rewrite (`dupedb.py:278-294`) and its
         MERGE-shaped validate/rename ops (`dupedb.py:413-438,145-157`)
-        in one distributed op: anti-join + union, copy-on-write."""
+        in one distributed op: anti-join + union, copy-on-write —
+        PRUNED to the files whose footer min/max range for the first
+        key column intersects an actual source key; every other file
+        is carried into the new snapshot by reference, untouched.
+        (Composite keys prune on the first column only — the remaining
+        columns still participate in the exact anti-join.)"""
         keys = [key] if isinstance(key, str) else list(key)
-        cur = self.read()
+        parent = self.current_version()
+        if parent == 0:
+            files, n, stats = self._write_files(source)
+            return self._commit(files, "merge", n, parent, stats)
+        manifest = self._manifest(parent)
+        rewrite, carry = self._pruned_rewrite_set(manifest, source, keys[0])
+        touched = self.spark.read.parquet(*rewrite) if rewrite else None
         merged = (
-            cur.join(source.select(*keys).distinct(), keys, "left_anti").unionByName(
+            touched.join(source.select(*keys).distinct(), keys, "left_anti").unionByName(
                 source
             )
-            if cur is not None
+            if touched is not None
             else source
         )
-        files, n = self._write_files(merged)
-        return self._commit(files, "merge", n)
+        files, n, stats = self._write_files(merged)
+        old_stats = manifest.get("stats", {})
+        carry_rows = sum((old_stats.get(f) or {}).get("rows", 0) for f in carry)
+        stats.update({f: old_stats[f] for f in carry if f in old_stats})
+        return self._commit(carry + files, "merge", carry_rows + n, parent, stats)
 
     def delete_where(self, condition) -> int:
         """Copy-on-write delete (the reference's trash sink, S8 —
-        minus the physical file moves, which are action rows here)."""
-        cur = self.read()
+        minus the physical file moves, which are action rows here).
+        SQL DELETE WHERE semantics: removes rows where the predicate
+        is TRUE; rows where it evaluates to NULL are KEPT (ADVICE r4
+        #2 — ``filter(~cond)`` also dropped NULL-predicate rows)."""
+        parent = self.current_version()
+        cur = self.read(parent if parent else None)
         if cur is None:
             raise ValueError("delete from empty table")
-        remaining = cur.filter(~condition)
-        files, n = self._write_files(remaining)
-        return self._commit(files, "delete", n)
+        remaining = cur.filter(~condition.eqNullSafe(True))
+        files, n, stats = self._write_files(remaining)
+        return self._commit(files, "delete", n, parent, stats)
 
     def rollback(self, version: int) -> int:
         """Commit a NEW version pointing at ``version``'s immutable
         files — history is never rewritten (undo that is itself
         undoable, unlike the reference's destructive undo scripts)."""
+        parent = self.current_version()
         m = self._manifest(version)
-        return self._commit(m["files"], f"rollback:{version}", m["n_rows"])
+        return self._commit(
+            m["files"], f"rollback:{version}", m["n_rows"], parent, m.get("stats")
+        )
 
     # -- read ops -----------------------------------------------------------
 

@@ -62,16 +62,87 @@ def test_rollback_restores_without_rewriting_history(spark, table):
 
 
 def test_concurrent_commit_conflicts_loudly(spark, table, monkeypatch):
-    """The optimistic-concurrency race: two writers both read head=1
-    and both try to commit v2.  Simulated by letting a racer claim the
-    v2 manifest while our writer's view of the head is pinned stale —
-    the exclusive-create commit must fail LOUDLY, never overwrite."""
+    """The optimistic-concurrency race, UN-mocked (ADVICE r4 #1): our
+    writer reads head=1, then a racer commits v2 while our write is in
+    flight.  Because ops commit against parent+1 of the snapshot they
+    were COMPUTED from (not a head re-read at commit time), the second
+    commit must collide on the v2 manifest and raise — never win a
+    fresh version number and silently drop the racer's rows."""
     table.overwrite(_df(spark, [(1, "a")]))
-    with open(table._manifest_path(2), "x") as fh:
-        fh.write("{}")  # racer wins version 2
-    monkeypatch.setattr(table, "current_version", lambda: 1)  # stale head view
+    real_write = SnapshotTable._write_files
+
+    def racing_write(self, df):
+        out = real_write(self, df)
+        if not os.path.exists(table._manifest_path(2)):  # racer lands v2 mid-op
+            with open(table._manifest_path(2), "x") as fh:
+                fh.write('{"version": 2, "parent": 1, "op": "append",'
+                         ' "files": [], "n_rows": 0, "stats": {}}')
+        return out
+
+    monkeypatch.setattr(SnapshotTable, "_write_files", racing_write)
     with pytest.raises(SnapshotConflict):
         table.append(_df(spark, [(2, "b")]))
+    # the racer's commit survives untouched
+    assert table.current_version() == 2
+
+
+def test_delete_where_keeps_null_predicate_rows(spark, table):
+    """SQL DELETE WHERE semantics (ADVICE r4 #2): delete only rows
+    where the predicate is TRUE; rows where it evaluates to NULL stay."""
+    table.overwrite(_df(spark, [(1, "en"), (2, None), (3, "de")]))
+    table.delete_where(F.col("v") == "en")
+    assert _rows(table.read()) == [(2, None), (3, "de")]
+
+
+def test_nonlocal_master_refused_without_vouch():
+    """Manifest I/O is driver-local fs and data paths are scheme-less:
+    on a non-local master the constructor must refuse loudly unless the
+    caller vouches the path is cluster-visible (VERDICT r4 wrong #1 —
+    same contract as plans/chain.py cluster_visible_ckpt)."""
+    from types import SimpleNamespace
+
+    fake = SimpleNamespace(sparkContext=SimpleNamespace(master="spark://h:7077"))
+    with pytest.raises(ValueError, match="cluster"):
+        SnapshotTable(fake, "/tmp/never-created-snapshot-table")
+
+
+def test_merge_prunes_rewrite_to_intersecting_files(spark, table):
+    """File-pruned MERGE (VERDICT r4 wrong #2): an upsert touching one
+    key must carry every data file whose footer [min,max] range cannot
+    contain a source key into the new snapshot BY REFERENCE (same
+    path), rewriting only the intersecting file(s)."""
+    base = spark.createDataFrame(
+        [(k, f"v{k}") for k in range(40)], "k int, v string"
+    ).repartitionByRange(4, "k")  # 4 files with disjoint k-ranges
+    table.overwrite(base)
+    v1_files = set(table._manifest(1)["files"])
+    assert len(v1_files) == 4
+    table.merge(_df(spark, [(7, "SEVEN")]), key="k")
+    v2_files = set(table._manifest(2)["files"])
+    carried = v1_files & v2_files
+    # exactly one file's range contains k=7 -> 3 of 4 carried untouched
+    assert len(carried) == 3
+    assert _rows(table.read()) == sorted(
+        [(k, "SEVEN" if k == 7 else f"v{k}") for k in range(40)]
+    )
+    # manifest row counts stay exact under carry-by-reference
+    h = {r["version"]: r["n_rows"] for r in table.history().collect()}
+    assert h[2] == 40 == table.read().count()
+
+
+def test_merge_rewrites_conservatively_without_stats(spark, table):
+    """Files with no usable stats for the key (e.g. legacy manifests)
+    are rewritten, never carried — the result stays exact."""
+    table.overwrite(_df(spark, [(1, "a"), (2, "b")]))
+    m = table._manifest(1)
+    m["stats"] = {}  # simulate a pre-stats manifest
+    os.remove(table._manifest_path(1))
+    with open(table._manifest_path(1), "x") as fh:
+        import json
+
+        json.dump(m, fh)
+    table.merge(_df(spark, [(2, "B"), (3, "c")]), key="k")
+    assert _rows(table.read()) == [(1, "a"), (2, "B"), (3, "c")]
 
 
 def test_expire_gcs_unreferenced_files_only(spark, table):
