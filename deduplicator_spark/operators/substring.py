@@ -191,7 +191,10 @@ class _ASideHasher:
 
 
 def lcs_len_fast(
-    xa: np.ndarray, xb: np.ndarray, a_state: _ASideHasher | None = None
+    xa: np.ndarray,
+    xb: np.ndarray,
+    a_state: _ASideHasher | None = None,
+    floor: int = 0,
 ) -> int | None:
     """Exact LCS length of two uint8 byte arrays, ~25x faster than the
     per-pair suffix array on web-page lengths: binary search over L,
@@ -203,6 +206,16 @@ def lcs_len_fast(
 
     ``a_state`` carries the a-side prefix hash + per-L sorted gram
     hashes, computed ONCE per verify group instead of once per partner.
+
+    ``floor`` seeds the binary search (VERDICT r4 next #5): when the
+    caller only needs the exact length for results >= floor — the
+    substring verify, whose candidates share a winnow anchor that
+    GUARANTEES a common substring >= min_len — one ``exists(floor)``
+    probe either rejects the pair outright (cap-expanded star pairs
+    with no true anchor: return floor - 1, meaning only "LCS < floor")
+    or confines the search to [floor, hi], removing the bottom half of
+    the probe ladder.  With the default floor=0 the result is the
+    exact LCS length unconditionally.
     """
     na, nb = len(xa), len(xb)
     if na == 0 or nb == 0:
@@ -240,6 +253,15 @@ def lcs_len_fast(
         return None
 
     lo, hi = 0, min(na, nb)
+    if 0 < floor <= hi:
+        e = exists(floor)
+        if e is None:
+            return None
+        if not e:
+            return floor - 1  # only meaningful as "LCS < floor"
+        lo = floor
+    elif floor > hi:
+        return hi  # LCS <= min(na, nb) < floor: can't reach the floor
     while lo < hi:
         mid = (lo + hi + 1) // 2
         e = exists(mid)
@@ -383,7 +405,10 @@ def substring_pairs(
         for url_a, url_b, tb in zip(part["url_a"], part["url_b"], part["t"]):
             nb = " ".join((tb or "").lower().split())
             xb = np.frombuffer(nb.encode("utf-8"), dtype=np.uint8)
-            m = lcs_len_fast(xa, xb, a_state)
+            # floor=min_len: anchors guarantee a common substring
+            # >= min_len for true pairs, so the seed probe is free for
+            # them and a one-probe reject for cap-expanded star pairs
+            m = lcs_len_fast(xa, xb, a_state, floor=min_len)
             if m is None:  # unconfirmed hash collision — exact slow path
                 m = longest_common_substring_len(na, nb)
             if m >= min_len:

@@ -29,6 +29,7 @@ from __future__ import annotations
 import atexit
 import os
 import shutil
+import socket
 import tempfile
 import time
 
@@ -112,7 +113,7 @@ def _register_app_dir(app_dir: str, root: str) -> None:
     _registered_app_dirs.add(app_dir)
     os.makedirs(app_dir, exist_ok=True)
     with open(os.path.join(app_dir, ".driver-pid"), "w") as fh:
-        fh.write(str(os.getpid()))
+        fh.write(f"{os.getpid()}@{socket.gethostname()}")
     atexit.register(shutil.rmtree, app_dir, ignore_errors=True)
     try:
         ttl = float(os.environ.get("DEDUP_CKPT_TTL_S", str(6 * 3600)))
@@ -127,11 +128,25 @@ def _register_app_dir(app_dir: str, root: str) -> None:
 
 def _stale_app_dir(p: str, now: float, ttl: float) -> bool:
     """Dead recorded driver pid -> stale.  Live pid -> never purge
-    (a concurrent session owns it).  Unreadable/absent pidfile (old
-    layout, partial write) -> fall back to an mtime TTL."""
+    (a concurrent session owns it).  The pid-liveness probe is only
+    meaningful on the host that RECORDED the pid: on a shared mount
+    (DEDUP_CKPT_DIR on NFS) a foreign driver's pid number usually
+    doesn't exist locally, and ``os.kill(pid, 0)`` would declare a
+    LIVE remote run stale and rmtree its checkpoints mid-run (ADVICE
+    r4 #3) — so pidfiles record ``pid@hostname`` and foreign-host
+    dirs fall back to the mtime TTL.  Unreadable/absent pidfile (old
+    layout, partial write) -> mtime TTL as well."""
     try:
-        pid = int(open(os.path.join(p, ".driver-pid")).read().strip())
+        raw = open(os.path.join(p, ".driver-pid")).read().strip()
+        pid_s, _, host = raw.partition("@")
+        pid = int(pid_s)
     except (OSError, ValueError):
+        try:
+            return now - os.path.getmtime(p) > ttl
+        except OSError:
+            return False
+    if host and host != socket.gethostname():
+        # foreign host: pid numbers don't transfer; only the TTL is safe
         try:
             return now - os.path.getmtime(p) > ttl
         except OSError:

@@ -164,3 +164,37 @@ def test_lcs_fast_shared_a_state_across_partners():
         fresh = lcs_len_fast(xa, xb)
         assert shared == fresh
         assert shared == longest_common_substring_len(a, b)
+
+
+def test_lcs_fast_floor_contract():
+    """floor-seeded search (VERDICT r4 next #5): results >= floor are
+    the EXACT LCS; any result < floor only means "LCS < floor".  The
+    verify path depends on exactness above the threshold and on the
+    one-probe reject below it."""
+    import numpy as np
+
+    from deduplicator_spark.operators.substring import (
+        _ASideHasher,
+        lcs_len_fast,
+        longest_common_substring_len,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    alphabet = list("ab cd")
+    a = "an anchor-guaranteed common stretch of text here " * 5
+    xa = np.frombuffer(a.encode(), dtype=np.uint8)
+    a_state = _ASideHasher(xa)
+    cases = []
+    for m in (10, 80, 400):
+        noise = "".join(rng.choice(alphabet, m))
+        cases += [noise, noise + a[5:90] + noise, a[:30], a]
+    for b in cases:
+        xb = np.frombuffer(b.encode(), dtype=np.uint8)
+        truth = longest_common_substring_len(a, b)
+        for floor in (0, 1, 8, 40, 85, len(a), len(a) + 50):
+            got = lcs_len_fast(xa, xb, a_state, floor=floor)
+            assert got is not None
+            if truth >= floor:
+                assert got == truth, (floor, truth, got, b[:40])
+            else:
+                assert got < floor, (floor, truth, got, b[:40])
