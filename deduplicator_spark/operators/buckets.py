@@ -39,20 +39,23 @@ def bucket_pairs(
     url_col: str = "url",
     ring_k: int = 8,
     overcap: str = "ring",
-    pin_keyed: bool = True,
+    pin_keyed: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """(pairs(url_a, url_b), overflow(key_cols..., bucket_size)).
 
-    ``pin_keyed`` (default True) materializes ``keyed`` once before the
-    three passes below reference it (counts, within-cap route, over-cap
-    route): Catalyst shares no common subtrees, so a lazy ``keyed`` —
-    typically an explode + hash over the fingerprint frame — is
-    re-executed per reference (measured: pinning halves the candidate
-    stage, 18.5s -> 8.8s + a 4s pin at 8 cores / 200k docs).  Pass
-    False when the keyed frame is too large to store (e.g. 10^12-doc
-    banding, ~600 TB: recomputing the explode from the columnar
-    fingerprint checkpoint beats storing it; the passes remain
-    scan-parallel either way).
+    ``pin_keyed`` materializes ``keyed`` once before the three passes
+    below reference it (counts, within-cap route, over-cap route):
+    Catalyst shares no common subtrees, so a lazy ``keyed`` — typically
+    an explode + hash over the fingerprint frame — is re-executed per
+    reference.  The pin was introduced on an 8-core/200k measurement
+    (halved the candidate stage then), but after the CC shuffle-width
+    fix two interleaved A/Bs (BENCH/Q1_AB.json: r4 nopin 26.6 vs head
+    29.0; r5 post-fix 18.31 vs 18.76, 5 runs/arm) show recomputing the
+    explode from the columnar fingerprint checkpoint is no slower —
+    and at 10^12-doc banding (~600 TB keyed frame) storing it is not
+    an option — so the default is now False.  Pass True only when the
+    upstream of ``keyed`` is genuinely expensive to recompute and
+    small enough to store.
 
     Buckets within ``cap`` expand to all pairs.  Buckets OVER ``cap``
     (mega-clusters: a 10^5-member boilerplate bucket would emit 5e9
