@@ -414,6 +414,30 @@ def main() -> None:
             }
         except (json.JSONDecodeError, OSError):
             pass
+    # the headline criterion number is the LARGEST size-ladder rung —
+    # the at-scale measurement (tools/scaling_size_ladder.py, raw runs
+    # + REST shuffle/CPU stamps in BENCH/SIZE_LADDER.json; narrative in
+    # BENCH/BASELINE.md).  The 200k RESULTS.json window above is the
+    # standing round-over-round fixture, not the at-scale reading.
+    ladder_path = os.path.join(ROOT, "BENCH", "SIZE_LADDER.json")
+    if os.path.exists(ladder_path):
+        try:
+            with open(ladder_path) as f:
+                ladder = json.load(f)
+            top = max(ladder, key=int)
+            rung = ladder[top]
+            result["scaling_at_scale"] = {
+                "n_docs": int(top),
+                "efficiency_e2e": rung.get("efficiency_e2e"),
+                "efficiency_fp_stage": rung.get("efficiency_fp_stage"),
+                "pairing": "(T_2/T_8)/4",
+                "low_runs_s": rung.get("low_runs_s"),
+                "high_runs_s": rung.get("high_runs_s"),
+                "calibration": rung.get("calibration"),
+                "criterion_met": (rung.get("efficiency_e2e") or 0) >= 0.8,
+            }
+        except (json.JSONDecodeError, OSError, ValueError):
+            pass
     print(json.dumps(result))
     spark.stop()
 
