@@ -434,6 +434,8 @@ def main() -> None:
                 "low_runs_s": rung.get("low_runs_s"),
                 "high_runs_s": rung.get("high_runs_s"),
                 "calibration": rung.get("calibration"),
+                "windows": rung.get("windows"),
+                "pairing_efficiencies": rung.get("pairing_efficiencies"),
                 "criterion_met": (rung.get("efficiency_e2e") or 0) >= 0.8,
             }
         except (json.JSONDecodeError, OSError, ValueError):
