@@ -19,6 +19,11 @@ BENCH = os.path.join(ROOT, "BENCH")
 
 
 def _cal(c: dict) -> str:
+    if "begin" in c:  # pooled entry (tools/ladder_pool.py): per-window stamps
+        return " · ".join(
+            f"{chr(ord('A') + i)}: {b:.2f}/{e:.2f}"
+            for i, (b, e) in enumerate(zip(c["begin"], c["end"]))
+        )
     b = c.get("raw_efficiency_begin")
     e = c.get("raw_efficiency")
     return f"{b:.2f} / {e:.2f}" if b is not None else f"{e:.2f}"
@@ -46,9 +51,18 @@ def size_ladder_block(ladder: dict) -> str:
             if bpd_lo is not None and bpd_hi is not None
             else "-"
         )
+        windows = r.get("windows")
+        if windows:
+            runs = len(r["low_runs_s"])
+            label = f"{int(n):,} ({len(windows)} windows, {runs} runs/arm)"
+            wins = ", ".join(str(w["efficiency_e2e"]) for w in windows)
+            eff = f"{r['efficiency_e2e']} pooled (windows: {wins})"
+        else:
+            label = f"{int(n):,}"
+            eff = str(r["efficiency_e2e"])
         lines.append(
-            f"| {int(n):,} | {r['t_low_median_s']:.1f} | {r['t_high_median_s']:.1f} "
-            f"| {r['efficiency_e2e']} | {r['efficiency_fp_stage']} "
+            f"| {label} | {r['t_low_median_s']:.1f} | {r['t_high_median_s']:.1f} "
+            f"| {eff} | {r['efficiency_fp_stage']} "
             f"| {mb('low')} / {mb('high')} | {bpd} | {_cal(r['calibration'])} |"
         )
     lines.append("<!-- SIZELADDER:END -->")
