@@ -39,6 +39,17 @@ class DedupConfig:
     # --- scale / skew knobs ---
     max_band_bucket: int = 2000   # cap pairs-per-LSH-bucket; overflow logged, never silent
     shuffle_partitions: int = 32
+    # Execution-only knob (not part of config_id): candidate-pair row
+    # count up to which the two-stage verify uses the broadcast shape —
+    # id-only pair/candidate frames become build-side broadcasts and
+    # the corpus-wide signature/shingle columns are pruned at the scan,
+    # so no full-corpus array column ever crosses an exchange.  16 B of
+    # ids per pair row -> 4M rows is ~64 MB raw (the session's
+    # autoBroadcastJoinThreshold); above it the verify falls back to
+    # the sort-merge shape, which is also the honest 10^10-pair web
+    # posture (where verify_pairs_two_stage_recompute is the
+    # documented at-scale shape).
+    broadcast_pairs_rows: int = 4_000_000
 
     def __post_init__(self) -> None:
         if self.bands * self.rows_per_band != self.num_perm:

@@ -83,43 +83,55 @@ def connected_components(
     threads, run CC on its own session.  See PLANS.md §4c.
     """
     spark = edges.sparkSession
-    with _AQE_TOGGLE_LOCK:
-        aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
-        parts_before = spark.conf.get("spark.sql.shuffle.partitions", "200")
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        try:
-            return _cc_loop(edges, src, dst, max_iter)
-        finally:
-            spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
-            spark.conf.set("spark.sql.shuffle.partitions", parts_before)
-
-
-def _cc_loop(
-    edges: DataFrame,
-    src: str,
-    dst: str,
-    max_iter: int,
-) -> DataFrame:
-    spark = edges.sparkSession
+    # Materialize the symmetric edge set BEFORE AQE is toggled off.
+    # This count executes the caller's entire lazy upstream — for the
+    # flagship chain that is the estimate/verify joins, the heaviest
+    # exchanges of the whole plan — and those must run WITH adaptive
+    # execution (runtime broadcast conversion, partition coalescing,
+    # skew splitting).  Round-4 code built sym inside the AQE-off
+    # scope, so the verify subtree silently ran as static sort-merge
+    # joins shuffling full-corpus signature/shingle arrays (profiled:
+    # ~70% of the job's shuffle bytes at 200k docs, tools/
+    # profile_e2e.py).  Only the label-propagation loop itself —
+    # uniform 8-byte keys, monotonically shrinking frames — benefits
+    # from AQE being off (see docstring above).
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
         .localCheckpoint(eager=False)
     )
-    # ONE eager count materializes sym AND tells us the graph size, so
-    # the loop's shuffle width can match the LABEL FRAME, not the
-    # corpus: the edge set after verification is orders of magnitude
-    # smaller than the input (50k web docs -> 232k sym rows), and with
-    # AQE off every iteration otherwise runs join+agg+join at the
-    # session's corpus-sized spark.sql.shuffle.partitions — measured
+    n_sym = sym.count()
+    with _AQE_TOGGLE_LOCK:
+        aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        parts_before = spark.conf.get("spark.sql.shuffle.partitions", "200")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            return _cc_loop(sym, n_sym, max_iter)
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+            spark.conf.set("spark.sql.shuffle.partitions", parts_before)
+
+
+def _cc_loop(
+    sym: DataFrame,
+    n_sym: int,
+    max_iter: int,
+) -> DataFrame:
+    spark = sym.sparkSession
+    # The eager count in connected_components (run with AQE still on)
+    # already materialized sym and told us the graph size, so the
+    # loop's shuffle width can match the LABEL FRAME, not the corpus:
+    # the edge set after verification is orders of magnitude smaller
+    # than the input (50k web docs -> 232k sym rows), and with AQE off
+    # every iteration otherwise runs join+agg+join at the session's
+    # corpus-sized spark.sql.shuffle.partitions — measured
     # 3.5s/iteration of pure task-scheduling floor at 128 partitions /
     # 32 cores for microseconds of real per-task work.  ~200k rows per
     # partition, never fewer than 8, never more than the session
     # setting (a 10^11-edge graph keeps the configured width).
     # Restored by connected_components' finally, same blast-radius
     # contract as the AQE toggle.
-    n_sym = sym.count()
     parts_before = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     n_parts = max(8, min(parts_before, n_sym // 200_000 + 8))
     spark.conf.set("spark.sql.shuffle.partitions", n_parts)

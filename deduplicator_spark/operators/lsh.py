@@ -103,21 +103,26 @@ def _pin_pairs(pairs: DataFrame, pinned: bool) -> DataFrame:
     return pairs if pinned else pairs.localCheckpoint()
 
 
-def estimate_jaccard(pairs: DataFrame, fp: DataFrame, cfg: DedupConfig) -> DataFrame:
+def estimate_jaccard(
+    pairs: DataFrame, fp: DataFrame, cfg: DedupConfig, broadcast_pairs: bool = False
+) -> DataFrame:
     """Attach the signature-agreement Jaccard estimate (JVM-side:
     zip_with + aggregate over the two int arrays; no Python).
 
-    Deliberately NO candidate-url semi-join prune here: the stored-
-    shingles verify is the dup-dense shape (you only store shingle
-    arrays when candidates are a large corpus fraction), and a prune
-    probe either re-executes the lazy pairs subtree (measured +18% on
-    the 200k-doc chain) or costs an extra materializing action — both
-    worse than shuffling the fixed 512-byte signatures.  The sparse-
-    corpus shape where pruning wins is verify_pairs_recompute, which
-    prunes inherently (tools/verify_ab.py holds the A/B)."""
+    No candidate-url semi-join prune HERE: pruning needs the pair
+    frame materialized (a lazy pairs subtree referenced twice is
+    re-executed — measured +18% on the 200k-doc chain), so it is the
+    caller's job.  ``verify_pairs_two_stage`` pins the pairs, prunes
+    ``fp`` to candidate urls with a broadcast semi-join, and passes
+    ``broadcast_pairs=True`` when the measured pair count fits
+    ``cfg.broadcast_pairs_rows`` — then the id-only pair frame is the
+    BHJ build side and the signature column streams out of the scan
+    without crossing an exchange.  With the flag off this is the plain
+    sort-merge shape (the honest 10^10-pair posture)."""
     sig = fp.select("url", "minhash")
+    pj = F.broadcast(pairs) if broadcast_pairs else pairs
     p = (
-        pairs.join(sig.withColumnsRenamed({"url": "url_a", "minhash": "sig_a"}), "url_a")
+        pj.join(sig.withColumnsRenamed({"url": "url_a", "minhash": "sig_a"}), "url_a")
         .join(sig.withColumnsRenamed({"url": "url_b", "minhash": "sig_b"}), "url_b")
     )
     agree = F.aggregate(
@@ -128,7 +133,9 @@ def estimate_jaccard(pairs: DataFrame, fp: DataFrame, cfg: DedupConfig) -> DataF
     return p.withColumn("est_jaccard", agree / F.lit(cfg.num_perm)).drop("sig_a", "sig_b")
 
 
-def verify_pairs_two_stage(pairs: DataFrame, fp: DataFrame, cfg: DedupConfig) -> DataFrame:
+def verify_pairs_two_stage(
+    pairs: DataFrame, fp: DataFrame, cfg: DedupConfig, pairs_pinned: bool = False
+) -> DataFrame:
     """Signature-estimate prefilter, then exact verify.
 
     The exact verifier joins full shingle arrays (KBs per doc for
@@ -139,26 +146,69 @@ def verify_pairs_two_stage(pairs: DataFrame, fp: DataFrame, cfg: DedupConfig) ->
     bar and 128 perms, a true pair estimates below 0.6 with
     probability ~1e-8 (5.7 sigma), so recall is preserved while the
     exact join sees ~10x fewer pairs.
+
+    Join strategy is chosen from a MEASURED pair count, never a stats
+    guess (checkpointed pair frames carry no Catalyst statistics, so
+    static planning would pick sort-merge every time):
+
+    - ``n_pairs <= cfg.broadcast_pairs_rows`` (id-only pairs fit a
+      build-side broadcast): the corpus-wide signature and shingle
+      columns are pruned AT THE SCAN with a broadcast semi-join on the
+      candidate urls, and the pair frames broadcast into the lookup
+      joins — no full-corpus array column ever crosses an exchange.
+      Profiled at 200k web docs this removed ~70% of the flagship
+      chain's shuffle bytes (tools/profile_e2e.py; the signature
+      exchange was 193 MB read twice, the shingle exchange 420 MB read
+      twice).  The shingle prune uses the post-prefilter SURVIVOR
+      urls, which are ~10x fewer again.
+    - above the threshold: the sort-merge shape, unchanged — at
+      10^10-pair web scale nothing fits a broadcast and the documented
+      at-scale verify is verify_pairs_two_stage_recompute anyway.
     """
-    est = estimate_jaccard(pairs, fp, cfg)
-    survivors = est.filter(F.col("est_jaccard") >= cfg.est_jaccard_prefilter).select(
-        "url_a", "url_b"
+    # lazy checkpoint + count = ONE materializing job (an eager
+    # checkpoint then a count would be two)
+    if not pairs_pinned:
+        pairs = pairs.localCheckpoint(eager=False)
+    n_pairs = pairs.count()
+    if n_pairs > cfg.broadcast_pairs_rows:
+        est = estimate_jaccard(pairs, fp, cfg)
+        survivors = est.filter(
+            F.col("est_jaccard") >= cfg.est_jaccard_prefilter
+        ).select("url_a", "url_b")
+        return verify_pairs(survivors, fp, cfg)
+    cand = _candidate_urls(pairs)
+    pruned = fp.join(F.broadcast(cand), "url", "left_semi")
+    est = estimate_jaccard(pairs, pruned, cfg, broadcast_pairs=True)
+    # survivors are id-only rows (<= n_pairs of them) — pin them so the
+    # shingle prune below and the verify join don't re-run the
+    # estimate subtree, and broadcast them into the verify join.
+    # Lazy: the first consumer (the cand_v broadcast exchange of the
+    # final plan) triggers materialization — no standalone job.
+    survivors = (
+        est.filter(F.col("est_jaccard") >= cfg.est_jaccard_prefilter)
+        .select("url_a", "url_b")
+        .localCheckpoint(eager=False)
     )
-    return verify_pairs(survivors, fp, cfg)
+    cand_v = _candidate_urls(survivors)
+    pruned_v = fp.join(F.broadcast(cand_v), "url", "left_semi")
+    return verify_pairs(survivors, pruned_v, cfg, broadcast_pairs=True)
 
 
-def verify_pairs(pairs: DataFrame, fp: DataFrame, cfg: DedupConfig) -> DataFrame:
+def verify_pairs(
+    pairs: DataFrame, fp: DataFrame, cfg: DedupConfig, broadcast_pairs: bool = False
+) -> DataFrame:
     """Exact shingle-set Jaccard on candidates; keep >= cfg.verify_jaccard.
 
     array_intersect/array_union run JVM-side on the stored distinct
-    shingle-hash arrays.  No candidate semi-join prune here (see
-    estimate_jaccard — the stored-shingles path is the dup-dense
-    shape; the pruned sparse-corpus shape is verify_pairs_recompute).
-    Output: (url_a, url_b, jaccard).
+    shingle-hash arrays.  No candidate semi-join prune here — pruning
+    and the ``broadcast_pairs`` build-side hint are the caller's job
+    (see verify_pairs_two_stage; the pruned sparse-corpus shape is
+    verify_pairs_recompute).  Output: (url_a, url_b, jaccard).
     """
     sh = fp.filter(F.col("n_shingles") > 0).select("url", "shingles")
+    pj = F.broadcast(pairs) if broadcast_pairs else pairs
     p = (
-        pairs.join(sh.withColumnsRenamed({"url": "url_a", "shingles": "sh_a"}), "url_a")
+        pj.join(sh.withColumnsRenamed({"url": "url_a", "shingles": "sh_a"}), "url_a")
         .join(sh.withColumnsRenamed({"url": "url_b", "shingles": "sh_b"}), "url_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

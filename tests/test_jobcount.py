@@ -73,17 +73,30 @@ def test_chain_job_count_bounded(spark, cfg, small_pages):
     n_jobs = _job_count(spark, lambda: _chain(spark, cfg, small_pages))
     # observed ~12-20 jobs with AQE sub-jobs at 300 docs (fp checkpoint,
     # id-dict materialize + collision check, CC rounds, final count);
-    # pre-fix regressions pushed this past 30
-    assert n_jobs <= 28, f"flagship chain launched {n_jobs} jobs (ceiling 28)"
+    # pre-fix regressions pushed this past 30.  The broadcast-shaped
+    # verify (lsh.py verify_pairs_two_stage) deliberately adds ~7 more:
+    # one pair-count job (which picks the join strategy from a MEASURED
+    # size) plus broadcast-build jobs for the id-only pair/candidate
+    # frames.  Those are tiny scheduler round-trips bought to remove
+    # the corpus-wide signature/shingle array exchanges (~70% of the
+    # chain's shuffle bytes at 200k docs, tools/profile_e2e.py) — and
+    # every build side is bounded by cfg.broadcast_pairs_rows, so the
+    # extra jobs stay O(1) as the corpus grows.  Observed 35 post-
+    # change; ceiling keeps the same ~1.3x slack.
+    assert n_jobs <= 45, f"flagship chain launched {n_jobs} jobs (ceiling 45)"
 
 
 def test_cc_job_count_scales_with_rounds_not_edges(spark):
     # a simple pair graph: CC should converge in ONE counted round
-    # (labels are seeded with the neighbor-min propagation) — 3 jobs
-    # observed (sym materialize+size count — which sizes the loop's
-    # shuffle width to the graph, one job that removes ~5/6 of the
-    # loop's tasks — plus round-1 count + final count); ceiling covers
-    # AQE noise
+    # (labels are seeded with the neighbor-min propagation).  The sym
+    # materialize+size count — which sizes the loop's shuffle width to
+    # the graph, one action that removes ~5/6 of the loop's tasks —
+    # now runs WITH AQE on (so the caller's upstream verify subtree
+    # gets runtime broadcast/coalesce; components.py), and AQE splits
+    # its distinct() into per-shuffle-stage sub-jobs: 9 observed vs 3
+    # under the old AQE-off count.  Ceiling covers one more round of
+    # AQE noise; the point stays that jobs scale with CC ROUNDS, not
+    # edges.
     edges = spark.createDataFrame(
         [(f"u{i:03d}", f"v{i:03d}") for i in range(50)], ["url_a", "url_b"]
     )
@@ -91,4 +104,4 @@ def test_cc_job_count_scales_with_rounds_not_edges(spark):
     n_jobs = _job_count(
         spark, lambda: clusters_from_pairs(edges, min_size=2).count()
     )
-    assert n_jobs <= 7, f"pair-graph CC launched {n_jobs} jobs (ceiling 7)"
+    assert n_jobs <= 12, f"pair-graph CC launched {n_jobs} jobs (ceiling 12)"
