@@ -235,8 +235,18 @@ def one_run(cpus: int, corpus: str, gen_if_missing: bool = False) -> tuple[float
 
 
 def cpu_calibration() -> dict:
-    """Raw-CPU scaling ceiling of this (shared) box, measured with pure
-    multiprocessing — context for interpreting the Spark numbers."""
+    """Raw-CPU AND memory-bandwidth scaling ceilings of this (shared)
+    box — context for interpreting the Spark numbers.
+
+    Two probes because the two resources fail independently: the
+    integer-loop probe (cache-resident) senses CPU-stealing neighbors
+    but is blind to bandwidth-streaming ones, and round 5 measured
+    windows with 0.93-1.02 pure-CPU calibrations whose executor CPU
+    still inflated 1.6-2.4x on identical bytes — bandwidth-shaped
+    neighbor load the old stamp could not see.  The streaming probe
+    (tools/membw_probe.py: numpy add over arrays far larger than LLC,
+    aggregate GB/s at N vs 4N workers) stamps exactly the resource the
+    round-4 shuffle-byte evidence pinned the e2e gap on."""
     import multiprocessing as mp
 
     def probe(workers: int, tasks: int) -> float:
@@ -247,11 +257,18 @@ def cpu_calibration() -> dict:
 
     lo = probe(N_LOW, N_LOW * 4)
     hi = probe(N_HIGH, N_HIGH * 4)
-    return {
+    out = {
         "raw_low_tasks_per_s": round(lo, 1),
         "raw_high_tasks_per_s": round(hi, 1),
         "raw_efficiency": round((hi / lo) / (N_HIGH / N_LOW), 3),
     }
+    try:
+        from tools.membw_probe import measure as membw_measure
+
+        out.update(membw_measure(N_LOW, N_HIGH))
+    except Exception:
+        pass  # probe is context, never a gate failure
+    return out
 
 
 def _burn(_):
@@ -302,17 +319,29 @@ def _write_results(result: dict, low: dict, high: dict, eff: float, calib: dict)
 # on a quiet window and stamp it with begin/end calibrations so a
 # mid-run degradation is visible in the artifact.
 MIN_CALIB = float(os.environ.get("SCALE_MIN_CALIB", "0.85"))
+# bandwidth gate (round 5): a window can pass the pure-CPU gate while a
+# neighbor streams through RAM; the membw probe senses that directly.
+# 0.7 default — a quiet 2->8 step measures 0.9+ on this box.
+MIN_MEMBW = float(os.environ.get("SCALE_MIN_MEMBW", "0.7"))
 CALIB_TRIES = int(os.environ.get("SCALE_CALIB_TRIES", "10"))
+
+
+def _calib_ok(calib: dict) -> bool:
+    if calib["raw_efficiency"] < MIN_CALIB:
+        return False
+    membw = calib.get("membw_efficiency")
+    return membw is None or membw >= MIN_MEMBW
 
 
 def wait_for_quiet_window() -> dict:
     calib = cpu_calibration()
     for _ in range(CALIB_TRIES - 1):
-        if calib["raw_efficiency"] >= MIN_CALIB:
+        if _calib_ok(calib):
             break
         print(
-            f"# box raw-CPU efficiency {calib['raw_efficiency']} < {MIN_CALIB}, "
-            "waiting for a quiet window",
+            f"# box not quiet (raw-CPU eff {calib['raw_efficiency']} vs "
+            f">={MIN_CALIB}, membw eff {calib.get('membw_efficiency')} vs "
+            f">={MIN_MEMBW}), waiting for a quiet window",
             file=sys.stderr,
         )
         time.sleep(90)
@@ -327,6 +356,7 @@ def main() -> None:
     times: dict[int, list[float]] = {N_LOW: [], N_HIGH: []}
     fp_times: dict[int, list[float]] = {N_LOW: [], N_HIGH: []}
     shuffles: dict[int, dict] = {}
+    cpu_runs: dict[int, list[float]] = {N_LOW: [], N_HIGH: []}
     rows = 0
     first = True
     for _ in range(RUNS):
@@ -336,8 +366,20 @@ def main() -> None:
             times[cpus].append(dt)
             fp_times[cpus].append(fp_dt)
             shuffles[cpus] = shuffle  # byte totals are load-independent; last run suffices
+            # executor CPU seconds are NOT load-independent (memory
+            # stalls inflate them) — keep every run's reading so the
+            # inflation evidence can use a median, not whichever run
+            # happened to come last
+            if "executor_run_s" in shuffle:
+                cpu_runs[cpus].append(shuffle["executor_run_s"])
+    for cpus in (N_LOW, N_HIGH):
+        if cpus in shuffles and cpu_runs[cpus]:
+            shuffles[cpus]["executor_run_s_runs"] = cpu_runs[cpus]
+            shuffles[cpus]["executor_run_s"] = statistics.median(cpu_runs[cpus])
     calib = cpu_calibration()
     calib["raw_efficiency_begin"] = calib_begin["raw_efficiency"]
+    if "membw_efficiency" in calib_begin:
+        calib["membw_efficiency_begin"] = calib_begin["membw_efficiency"]
 
     def level(cpus: int) -> dict:
         return {
